@@ -1,0 +1,73 @@
+"""Global configuration: precision policy and solver defaults.
+
+The reference (vpuri3/PFHubBenchmarks) hardcodes parameters at the top of each
+driver script and relies on two ambient config systems (FFC form-compiler
+parameters, PETSc options DB) — see dolfin/bench1.py:14-16, dolfinx/b1.py:164-180.
+Here configuration is explicit dataclasses; benchmarks own a ``SolverConfig``
+and a physics parameter dataclass each.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def enable_x64() -> None:
+    """Enable float64. Call before creating arrays.
+
+    Validation parity with the reference CSVs (tolerances ~1e-6) requires
+    f64; TPU executes f64 via emulation (~3-4x slower on v5e, still far
+    faster than the MPI/FEniCS baseline for these problem sizes).
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Newton-Krylov settings mirroring the reference's SNES/KSP setup.
+
+    Reference: dolfin/bench1.py:82-111 — SNES atol 1e-6, max 10 iterations,
+    line search 'basic'/'cp', GMRES(restart 30, rtol 1e-5, <=1000 iters) + SOR.
+    SOR is inherently sequential, so the TPU build uses a pointwise
+    block-Jacobi preconditioner instead (solve/precond.py).
+    """
+
+    newton_atol: float = 1e-6
+    newton_rtol: float = 1e-8       # PETSc SNES default rtol
+    newton_max_iters: int = 10
+    newton_div_tol: float = 1e4     # PETSc SNES divergence tolerance
+    line_search: str = "basic"      # 'basic' | 'bt' | 'cp'
+    krylov: str = "gmres"           # 'gmres' | 'bicgstab'
+    krylov_rtol: float = 1e-5       # PETSc KSP default rtol
+    krylov_atol: float = 1e-50
+    krylov_max_iters: int = 1000
+    gmres_restart: int = 30
+    precond: str = "block_jacobi"   # 'none' | 'block_jacobi'
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeConfig:
+    """Adaptive implicit-Euler driver settings (dolfin/bench1.py:136-183)."""
+
+    t0: float = 0.0
+    dt0: float = 1e-1
+    dt_min: float = 1e-2
+    end_time: float = 1e3
+    # Reference rule: double dt if Newton converged in < grow_threshold
+    # iterations, else halve (floored at dt_min). dolfin/bench1.py:179-183.
+    grow_threshold: int = 5
+
+
+def default_device_mesh_shape(n_devices: int) -> tuple[int, int]:
+    """Factor n devices into a near-square (my, mx) 2D mesh."""
+    my = int(n_devices**0.5)
+    while n_devices % my:
+        my -= 1
+    return my, n_devices // my
+
+
+def running_under_pytest() -> bool:
+    return "PYTEST_CURRENT_TEST" in os.environ

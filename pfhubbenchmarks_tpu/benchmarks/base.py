@@ -1,0 +1,81 @@
+"""Benchmark problem container: everything a driver needs, declaratively.
+
+The reference expresses each benchmark as a ~250-line script owning mesh,
+parameters, ICs, weak form, solver config, time loop and I/O
+(dolfin/bench{1,2,3,6}.py). Here a benchmark is data: a grid, a pointwise
+``terms`` function, ICs, observables, and configs — the shared machinery
+lives in fem/, solve/ and timeloop.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+
+from pfhubbenchmarks_tpu.config import SolverConfig, TimeConfig
+from pfhubbenchmarks_tpu.fem.assembly import DirichletBC, make_functional, make_residual
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+from pfhubbenchmarks_tpu.solve.precond import BUILDERS
+
+
+@dataclasses.dataclass
+class BenchmarkProblem:
+    name: str
+    grid: CrossedTriGrid
+    field_names: tuple[str, ...]
+    terms: Callable                       # QPContext -> (source, flux)
+    ic_fns: Sequence[Callable]            # per-field fn(x, y)
+    observables: dict[str, Callable]      # name -> density(QPContext)
+    csv_columns: tuple[str, ...]          # e.g. (time, total_free_energy, total_solute)
+    time: TimeConfig = TimeConfig()
+    solver: SolverConfig = SolverConfig()
+    dirichlet: tuple[DirichletBC, ...] = ()
+    needs_coords: bool = False
+    dtype: type = jnp.float64
+    # optional scaling applied to an observable value after integration
+    observable_scale: dict[str, float] = dataclasses.field(default_factory=dict)
+    # optional early-abort predicate on a CSV row dict (bench3: TFE < 0,
+    # dolfin/bench3.py:254-258)
+    abort_condition: typing.Optional[Callable[[dict], bool]] = None
+
+    @property
+    def n_fields(self) -> int:
+        return len(self.field_names)
+
+    def initial_state(self):
+        v, m = self.grid.interpolate(self.ic_fns)
+        v = jnp.asarray(v, self.dtype)
+        m = jnp.asarray(m, self.dtype)
+        for bc in self.dirichlet:
+            v = bc.apply_value(v)
+        return v, m
+
+    def residual(self):
+        return make_residual(
+            self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,
+            needs_coords=self.needs_coords, dtype=self.dtype,
+        )
+
+    def precond_builder(self):
+        kind = self.solver.precond
+        if kind == "none":
+            return BUILDERS["none"]()
+        return BUILDERS[kind](
+            self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,
+            dtype=self.dtype, needs_coords=self.needs_coords,
+        )
+
+    def observable_fns(self):
+        out = {}
+        for name, density in self.observables.items():
+            fn = make_functional(self.grid, density, needs_coords=self.needs_coords,
+                                 dtype=self.dtype)
+            s = self.observable_scale.get(name)
+            if s is not None:
+                base = fn
+                fn = (lambda b, sc: (lambda w: b(w) * sc))(base, s)
+            out[name] = fn
+        return out

@@ -1,0 +1,149 @@
+"""PFHub Benchmark 2: Ostwald ripening — CH + 4 Allen-Cahn order parameters.
+
+Reference: dolfin/bench2.py — 200x200 domain, 100x100 crossed mesh, 6-field
+mixed element (c, mu, eta1..eta4) (:45-52), params rho=sqrt(2),
+kappa_c=kappa_eta=3, M=5, w=1, alpha=5, L=5 (:33-42), two-phase f_chem with
+quintic interpolation + 4-well & pairwise penalty (:76-99), ICs
+pfbase.py:262-291, dt0=1e-2, dt_min=1e-4, end_time=100 (:220-223),
+line search 'cp' (:140).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from pfhubbenchmarks_tpu.benchmarks.base import BenchmarkProblem
+from pfhubbenchmarks_tpu.config import SolverConfig, TimeConfig
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+from pfhubbenchmarks_tpu.models import forms
+
+NUM_ETA = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class Bench2Params:
+    c_alpha: float = 0.3
+    c_beta: float = 0.7
+    rho: float = math.sqrt(2.0)
+    kappa_c: float = 3.0
+    kappa_eta: float = 3.0
+    M: float = 5.0
+    w: float = 1.0
+    alpha: float = 5.0
+    L: float = 5.0
+    c0: float = 0.5
+    epsilon: float = 0.05
+    epsilon_eta: float = 0.1
+    psi: float = 1.5
+
+
+def ic_c(p: Bench2Params):
+    def fn(x, y):
+        return p.c0 + p.epsilon * (
+            np.cos(0.105 * x) * np.cos(0.11 * y)
+            + (np.cos(0.13 * x) * np.cos(0.087 * y)) ** 2
+            + np.cos(0.025 * x - 0.15 * y) * np.cos(0.07 * x - 0.02 * y)
+        )
+
+    return fn
+
+
+def ic_eta(p: Bench2Params, i: int):
+    """pfbase.py:279-288 — note the reference mixes ``ii = i + 1`` in the
+    first two terms with plain ``i`` in the psi term; reproduced exactly."""
+    ii = i + 1.0
+
+    def fn(x, y):
+        return p.epsilon_eta * (
+            np.cos((0.01 * ii) * x - 4.0) * np.cos((0.007 + 0.01 * ii) * y)
+            + np.cos((0.11 + 0.01 * ii) * x) * np.cos((0.11 + 0.01 * ii) * y)
+            + p.psi * (
+                np.cos((0.046 + 0.001 * i) * x - (0.0405 + 0.001 * i) * y)
+                * np.cos((0.031 + 0.001 * i) * x - (0.004 + 0.001 * i) * y)
+            ) ** 2
+        ) ** 2
+
+    return fn
+
+
+def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
+         params: Bench2Params = Bench2Params(), **overrides) -> BenchmarkProblem:
+    p = params
+    rho2 = p.rho ** 2
+
+    def hsum(etas):
+        return sum(forms.h(e) for e in etas)
+
+    def f_chem(c, etas):
+        f_a = rho2 * (c - p.c_alpha) ** 2
+        f_b = rho2 * (c - p.c_beta) ** 2
+        H = hsum(etas)
+        dw = sum(e**2 * (1.0 - e) ** 2 for e in etas)
+        pair = 0.0
+        for i in range(NUM_ETA):
+            for j in range(i + 1, NUM_ETA):
+                pair = pair + etas[i] ** 2 * etas[j] ** 2
+        return f_a * (1.0 - H) + f_b * H + p.w * (dw + p.alpha * pair)
+
+    def dfdc(c, etas):
+        H = hsum(etas)
+        return 2.0 * rho2 * ((c - p.c_alpha) * (1.0 - H) + (c - p.c_beta) * H)
+
+    def dfdeta(c, etas, i):
+        f_a = rho2 * (c - p.c_alpha) ** 2
+        f_b = rho2 * (c - p.c_beta) ** 2
+        e = etas[i]
+        others_sq = sum(etas[j] ** 2 for j in range(NUM_ETA) if j != i)
+        dwell = 2.0 * e * (1.0 - e) * (1.0 - 2.0 * e)
+        return (f_b - f_a) * forms.dh(e) + p.w * (dwell + 2.0 * p.alpha * e * others_sq)
+
+    def terms(ctx):
+        c, mu = ctx.u[0], ctx.u[1]
+        etas = ctx.u[2:]
+        (sc, fc), (smu, fmu) = forms.cahn_hilliard(
+            c, mu, ctx.du[1], ctx.du[0], ctx.u0[0], ctx.dt, p.M, p.kappa_c,
+            dfdc(c, etas))
+        src = [sc, smu]
+        flux = [fc, fmu]
+        for i in range(NUM_ETA):
+            s_i, f_i = forms.allen_cahn(
+                etas[i], ctx.du[2 + i], ctx.u0[2 + i], ctx.dt, p.L, p.kappa_eta,
+                dfdeta(c, etas, i))
+            src.append(s_i)
+            flux.append(f_i)
+        return src, flux
+
+    def tfe_density(ctx):
+        c = ctx.u[0]
+        etas = ctx.u[2:]
+        dc = ctx.du[0]
+        e = f_chem(c, etas) + p.kappa_c / 2.0 * (dc[0] ** 2 + dc[1] ** 2)
+        for i in range(NUM_ETA):
+            de = ctx.du[2 + i]
+            e = e + p.kappa_eta / 2.0 * (de[0] ** 2 + de[1] ** 2)
+        return e
+
+    return BenchmarkProblem(
+        name="bench2",
+        grid=CrossedTriGrid(nx, ny, Lx, Ly),
+        field_names=("c", "mu", "eta1", "eta2", "eta3", "eta4"),
+        terms=terms,
+        ic_fns=[ic_c(p), lambda x, y: 0.0] + [ic_eta(p, i) for i in range(NUM_ETA)],
+        observables={
+            "total_free_energy": tfe_density,
+            "total_solute": lambda ctx: ctx.u[0],
+        },
+        csv_columns=("time", "total_free_energy", "total_solute"),
+        time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=100.0, grow_threshold=5),
+        solver=SolverConfig(line_search="cp"),
+        **overrides,
+    )
+
+
+if __name__ == "__main__":
+    from pfhubbenchmarks_tpu.benchmarks.registry import main
+
+    main("bench2")

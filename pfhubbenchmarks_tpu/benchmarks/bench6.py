@@ -1,0 +1,102 @@
+"""PFHub Benchmark 6: electrochemistry — Cahn-Hilliard + Poisson coupling.
+
+Reference: dolfin/bench6.py — 100x100 domain, 100x100 crossed mesh (:22-24),
+fields (c, mu, phi) (:44-46), params kappa=2, rho=5, M=5, k=0.09,
+epsilon=90 (:33-39), electromigration via dfdc = f_chem' + k phi (:68),
+Poisson source -k c / epsilon (:72), Dirichlet BCs on phi only: phi=0 left,
+phi=sin(y/7) right (:77-90), dt0=1e-2, dt_min=1e-4, end_time=3 (:177-181),
+line search 'cp' (:117), KSP max_it 5000 (:135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pfhubbenchmarks_tpu.benchmarks.base import BenchmarkProblem
+from pfhubbenchmarks_tpu.config import SolverConfig, TimeConfig
+from pfhubbenchmarks_tpu.fem.assembly import DirichletBC
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+from pfhubbenchmarks_tpu.models import forms
+
+
+@dataclasses.dataclass(frozen=True)
+class Bench6Params:
+    c_alpha: float = 0.3
+    c_beta: float = 0.7
+    kappa: float = 2.0
+    rho: float = 5.0
+    M: float = 5.0
+    k: float = 0.09
+    epsilon: float = 90.0
+    cc0: float = 0.5
+    cc1: float = 0.04
+
+
+def ic_c(p: Bench6Params):
+    """pfbase.py:332-334 (note the 0.2 frequency vs bench1's 0.105)."""
+
+    def fn(x, y):
+        return p.cc0 + p.cc1 * (
+            np.cos(0.2 * x) * np.cos(0.11 * y)
+            + (np.cos(0.13 * x) * np.cos(0.087 * y)) ** 2
+            + np.cos(0.025 * x - 0.15 * y) * np.cos(0.07 * x - 0.02 * y)
+        )
+
+    return fn
+
+
+def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
+         params: Bench6Params = Bench6Params(), **overrides) -> BenchmarkProblem:
+    p = params
+
+    def f_chem(c):
+        return p.rho * (c - p.c_alpha) ** 2 * (p.c_beta - c) ** 2
+
+    def dfdc_chem(c):
+        return 2.0 * p.rho * (c - p.c_alpha) * (p.c_beta - c) * (
+            (p.c_beta - c) - (c - p.c_alpha))
+
+    def terms(ctx):
+        c, mu, phi = ctx.u
+        (sc, fc), (smu, fmu) = forms.cahn_hilliard(
+            c, mu, ctx.du[1], ctx.du[0], ctx.u0[0], ctx.dt, p.M, p.kappa,
+            dfdc_chem(c) + p.k * phi)
+        sp, fp = forms.poisson(ctx.du[2], -p.k * c / p.epsilon, 1.0)
+        return [sc, smu, sp], [fc, fmu, fp]
+
+    def tfe_density(ctx):
+        c, _, phi = ctx.u
+        dc = ctx.du[0]
+        return (f_chem(c) + p.k * c * phi / 2.0
+                + p.kappa / 2.0 * (dc[0] ** 2 + dc[1] ** 2))
+
+    grid = CrossedTriGrid(nx, ny, Lx, Ly)
+    dirichlet = (
+        DirichletBC.make(grid, field=2, side="left", fn=lambda y: 0.0 * y),
+        DirichletBC.make(grid, field=2, side="right", fn=lambda y: np.sin(y / 7.0)),
+    )
+
+    return BenchmarkProblem(
+        name="bench6",
+        grid=grid,
+        field_names=("c", "mu", "phi"),
+        terms=terms,
+        ic_fns=[ic_c(p), lambda x, y: 0.0, lambda x, y: 0.0],
+        observables={
+            "total_free_energy": tfe_density,
+            "total_solute": lambda ctx: ctx.u[0],
+        },
+        csv_columns=("time", "total_free_energy", "total_solute"),
+        time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=3.0, grow_threshold=5),
+        solver=SolverConfig(line_search="cp", krylov_max_iters=5000),
+        dirichlet=dirichlet,
+        **overrides,
+    )
+
+
+if __name__ == "__main__":
+    from pfhubbenchmarks_tpu.benchmarks.registry import main
+
+    main("bench6")

@@ -1,0 +1,86 @@
+"""Benchmark registry + shared CLI runner.
+
+Run any benchmark as::
+
+    python -m pfhubbenchmarks_tpu.benchmarks.bench1 [--end-time T] [--out CSV]
+
+(replaces the reference's per-script ``python dolfin/bench<N>.py`` entry
+points, README.md:18-29).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import time
+
+_BENCHMARKS = {
+    "bench1": "pfhubbenchmarks_tpu.benchmarks.bench1",
+    "bench2": "pfhubbenchmarks_tpu.benchmarks.bench2",
+    "bench3": "pfhubbenchmarks_tpu.benchmarks.bench3",
+    "bench6": "pfhubbenchmarks_tpu.benchmarks.bench6",
+    "bench1_3d": "pfhubbenchmarks_tpu.benchmarks.bench1_3d",
+    "elast": "pfhubbenchmarks_tpu.benchmarks.elast",
+}
+
+
+def get_benchmark(name: str, **kwargs):
+    if name not in _BENCHMARKS:
+        raise ValueError(f"unknown benchmark {name!r}; have {sorted(_BENCHMARKS)}")
+    mod = importlib.import_module(_BENCHMARKS[name])
+    return mod.make(**kwargs)
+
+
+def main(name: str, argv=None) -> None:
+    ap = argparse.ArgumentParser(description=f"PFHub {name} (TPU-native)")
+    ap.add_argument("--end-time", type=float, default=None)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--out", type=str, default=f"results/{name}_out.csv")
+    ap.add_argument("--nx", type=int, default=None)
+    ap.add_argument("--ny", type=int, default=None)
+    ap.add_argument("--f32", action="store_true", help="float32 state (perf mode)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="directory for checkpoint/resume")
+    ap.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    args = ap.parse_args(argv)
+
+    from pfhubbenchmarks_tpu.config import enable_x64
+
+    if not args.f32:
+        enable_x64()
+
+    kwargs = {}
+    if args.nx:
+        kwargs["nx"] = args.nx
+    if args.ny:
+        kwargs["ny"] = args.ny
+    if args.f32:
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = jnp.float32
+
+    problem = get_benchmark(name, **kwargs)
+
+    from pfhubbenchmarks_tpu import timeloop
+    from pfhubbenchmarks_tpu.io.csvout import write_csv
+
+    resume_kwargs = {}
+    ckpt = None
+    if args.checkpoint:
+        from pfhubbenchmarks_tpu.io.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint, problem.name)
+        if args.resume:
+            resume_kwargs = ckpt.restore_kwargs()
+
+    t0 = time.time()
+    result = timeloop.run(problem, end_time=args.end_time, max_steps=args.max_steps,
+                          verbose=not args.quiet,
+                          on_step=(ckpt.on_step if ckpt else None),
+                          **resume_kwargs)
+    wall = time.time() - t0
+    write_csv(args.out, result.rows, result.columns)
+    n = len(result.stats)
+    print(f"{name}: {n} steps to t={result.rows[-1, 0]:.6g} in {wall:.2f}s "
+          f"({wall / max(n, 1):.3f}s/step) -> {args.out}")

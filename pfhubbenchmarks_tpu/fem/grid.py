@@ -176,9 +176,12 @@ class CrossedTriGrid:
         # stiffness diag: sum_t area_t * |grad lambda_slot|^2 over tris containing slot
         area_t = tab.wq.sum(axis=1)
         stiff_slot = np.einsum("t,ts->s", area_t, (tab.Gs ** 2).sum(axis=-1))
+        stiff_xx_slot = np.einsum("t,ts->s", area_t, tab.Gs[..., 0] ** 2)
+        stiff_yy_slot = np.einsum("t,ts->s", area_t, tab.Gs[..., 1] ** 2)
         out = {}
         for name, slot in (("mass", mass_slot), ("lumped_mass", lumped_slot),
-                           ("stiff", stiff_slot)):
+                           ("stiff", stiff_slot), ("stiff_xx", stiff_xx_slot),
+                           ("stiff_yy", stiff_yy_slot)):
             dv = np.zeros((self.ny + 1, self.nx + 1))
             dv[:-1, :-1] += slot[0]
             dv[:-1, 1:] += slot[1]

@@ -1,0 +1,135 @@
+"""On-device Newton(-Krylov) with PETSc SNES 'newtonls' semantics.
+
+Replaces DOLFIN's NonlinearVariationalSolver / PETSc SNES
+(dolfin/bench1.py:76-111; explicit callbacks in
+dolfinx/pfbase/pde_problems.py:113-185). The entire nonlinear solve — Newton
+iterations, the inner Krylov solve, line search, convergence control — is one
+``lax.while_loop`` under ``jit``: a single device dispatch per solve attempt.
+
+Convergence mirrors SNES defaults as configured by the reference:
+  converged: ||F|| < atol (1e-6)  or  ||F|| < rtol * ||F0|| (1e-8)
+  diverged:  ||F|| > divtol * ||F0||, NaN, linear-solve failure, or max_it
+Iteration counts feed the reference's adaptive-dt rule (timeloop.py).
+
+The Jacobian is never materialized: J·v comes from ``jax.linearize`` of the
+assembled residual (the AD counterpart of UFL ``derivative``,
+dolfin/bench1.py:68).
+"""
+
+from __future__ import annotations
+
+import typing
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pfhubbenchmarks_tpu.config import SolverConfig
+from pfhubbenchmarks_tpu.solve import tree as tr
+from pfhubbenchmarks_tpu.solve.krylov import SOLVERS
+
+
+class NewtonResult(typing.NamedTuple):
+    x: typing.Any
+    iters: jnp.ndarray          # Newton iterations performed
+    converged: jnp.ndarray      # bool
+    res_norm: jnp.ndarray       # final ||F||
+    krylov_iters: jnp.ndarray   # cumulative inner iterations (observability)
+
+
+def _make_line_search(kind: str, res_fn):
+    """Returns ls(x, d, F, normF) -> step length lambda.
+
+    'basic': full step (dolfin/bench1.py:93).
+    'bt': Armijo backtracking on ||F||^2 with halving (PETSc bt, simplified).
+    'cp': one secant step on g(l) = <F(x + l d), d> (PETSc cp default
+          max_its=1; dolfin/bench2.py:140, bench6.py:117).
+    """
+
+    if kind == "basic":
+        return lambda x, d, F, normF: jnp.asarray(1.0, normF.dtype)
+
+    if kind == "cp":
+        def ls(x, d, F, normF):
+            g0 = tr.vdot(F, d)
+            F1 = res_fn(tr.add(x, d))
+            g1 = tr.vdot(F1, d)
+            denom = g1 - g0
+            lam = jnp.where(jnp.abs(denom) > 1e-30, -g0 / jnp.where(denom != 0, denom, 1.0), 1.0)
+            # PETSc guards the step into (0, maxstep]; clamp sanely
+            lam = jnp.clip(lam, 0.1, 2.0)
+            return jnp.where(jnp.isfinite(lam), lam, jnp.asarray(1.0, normF.dtype))
+        return ls
+
+    if kind == "bt":
+        def ls(x, d, F, normF):
+            alpha = 1e-4
+            f0 = normF * normF
+
+            # up to 10 halvings, stop at first sufficient decrease
+            def scan_body(lam, _):
+                Ft = res_fn(tr.axpy(lam, d, x))
+                ft = tr.vdot(Ft, Ft)
+                ok = ft <= (1.0 - 2.0 * alpha * lam) * f0
+                new_lam = jnp.where(ok, lam, lam * 0.5)
+                return new_lam, ok
+
+            lam = jnp.asarray(1.0, normF.dtype)
+            lam, oks = lax.scan(scan_body, lam, None, length=10)
+            return lam
+        return ls
+
+    raise ValueError(f"unknown line search {kind!r}")
+
+
+def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True):
+    """Build ``solve(w_guess, w_prev, dt) -> NewtonResult``.
+
+    ``residual(w, w_prev, dt)`` is the assembled weak-form residual;
+    ``precond_build(w, w_prev, dt) -> Minv`` a preconditioner factory.
+    """
+    krylov = SOLVERS[cfg.krylov]
+    krylov_kwargs = dict(rtol=cfg.krylov_rtol, atol=cfg.krylov_atol,
+                         maxiter=cfg.krylov_max_iters, restart=cfg.gmres_restart)
+    if cfg.krylov == "bicgstab":
+        krylov_kwargs.pop("restart")
+
+    def solve(w_guess, w_prev, dt):
+        res_fn = lambda w: residual(w, w_prev, dt)
+        F0 = res_fn(w_guess)
+        n0 = tr.norm(F0)
+        line_search = _make_line_search(cfg.line_search, res_fn)
+
+        state0 = dict(
+            x=w_guess, F=F0, normF=n0,
+            k=jnp.array(0, jnp.int32),
+            kiters=jnp.array(0, jnp.int32),
+            converged=n0 < cfg.newton_atol,
+            failed=~jnp.isfinite(n0),
+        )
+
+        def cond(s):
+            return (~s["converged"]) & (~s["failed"]) & (s["k"] < cfg.newton_max_iters)
+
+        def body(s):
+            x, F = s["x"], s["F"]
+            _, jvp_fn = jax.linearize(res_fn, x)
+            Minv = precond_build(x, w_prev, dt)
+            sol = krylov(jvp_fn, tr.neg(F), Minv=Minv, **krylov_kwargs)
+            lam = line_search(x, sol.x, F, s["normF"])
+            xn = tr.axpy(lam, sol.x, x)
+            Fn = res_fn(xn)
+            nn = tr.norm(Fn)
+            k = s["k"] + 1
+            converged = (nn < cfg.newton_atol) | (nn < cfg.newton_rtol * n0)
+            failed = (~jnp.isfinite(nn)) | (nn > cfg.newton_div_tol * n0) | (~sol.converged)
+            return dict(x=xn, F=Fn, normF=nn, k=k,
+                        kiters=s["kiters"] + sol.iters,
+                        converged=converged, failed=failed)
+
+        out = lax.while_loop(cond, body, state0)
+        converged = out["converged"] & ~out["failed"]
+        return NewtonResult(out["x"], out["k"], converged, out["normF"], out["kiters"])
+
+    return jax.jit(solve) if jit else solve

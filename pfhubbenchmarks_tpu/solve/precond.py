@@ -1,0 +1,144 @@
+"""Pointwise block-Jacobi preconditioner, auto-derived from model physics.
+
+Replaces PETSc's SOR preconditioner (dolfin/bench1.py:99). SOR is a
+sequential sweep — the worst possible fit for a vector machine — so instead
+we build, per grid node, the exact F x F diagonal block of the Jacobian:
+
+    P_node = dsource/du * mass_diag(node) +
+             dflux_x/d(du_x) * stiff_xx_diag(node) +
+             dflux_y/d(du_y) * stiff_yy_diag(node)
+
+where the pointwise derivative blocks come from ``jax.jvp`` of the model's
+``terms`` function with one-hot field tangents (the AD counterpart of UFL's
+``derivative``), evaluated at nodal values. Applying the preconditioner is a
+batched F x F solve per node — pure VPU work, no sequential dependency.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfhubbenchmarks_tpu.fem.assembly import QPContext
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+
+
+def _pointwise_eval(terms, u, du_x, du_y, u0, dt, shape):
+    """Evaluate (source, flux_x, flux_y) stacked [3, F, ...] at given values."""
+    n = u.shape[0]
+    zeros = jnp.zeros_like(u[0])
+    ctx = QPContext(
+        u=tuple(u[i] for i in range(n)),
+        du=tuple((du_x[i], du_y[i]) for i in range(n)),
+        u0=tuple(u0[i] for i in range(n)),
+        du0=tuple((zeros, zeros) for _ in range(n)),
+        dt=dt,
+    )
+    s, f = terms(ctx)
+    b = lambda z: jnp.broadcast_to(z, shape[1:])
+    return jnp.stack(
+        [
+            jnp.stack([b(si) for si in s]),
+            jnp.stack([b(fi[0]) for fi in f]),
+            jnp.stack([b(fi[1]) for fi in f]),
+        ]
+    )
+
+
+def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
+                      dtype=jnp.float64, needs_coords: bool = False):
+    """Returns ``build(w, w0, dt) -> Minv`` where Minv applies P^-1 pointwise.
+
+    ``needs_coords`` systems get coordinate-independent blocks (coords only
+    enter through Dirichlet data / forcing, which don't affect the Jacobian
+    diagonal here).
+    """
+    diags = grid.node_diagonals()
+    mass_v, mass_m = (jnp.asarray(d, dtype) for d in diags["mass"])
+    sxx_v, sxx_m = (jnp.asarray(d, dtype) for d in diags["stiff_xx"])
+    syy_v, syy_m = (jnp.asarray(d, dtype) for d in diags["stiff_yy"])
+
+    def blocks_for(u_nodal, u0_nodal, dt, mass_d, sxx_d, syy_d):
+        """u_nodal [F, Y, X] -> P [Y, X, F, F]."""
+        shape = u_nodal.shape
+        zer = jnp.zeros_like(u_nodal)
+
+        def f(uu, dx, dy):
+            return _pointwise_eval(terms, uu, dx, dy, u0_nodal, dt, shape)
+
+        cols = []
+        for j in range(n_fields):
+            e = jnp.zeros_like(u_nodal).at[j].set(1.0)
+            _, t_u = jax.jvp(lambda a: f(a, zer, zer), (u_nodal,), (e,))
+            _, t_dx = jax.jvp(lambda a: f(u_nodal, a, zer), (zer,), (e,))
+            _, t_dy = jax.jvp(lambda a: f(u_nodal, zer, a), (zer,), (e,))
+            # column j of P: [F, Y, X]
+            col = (t_u[0] * mass_d + t_dx[1] * sxx_d + t_dy[2] * syy_d)
+            cols.append(col)
+        P = jnp.stack(cols, axis=-1)  # [F, Y, X, F] (row, y, x, col)
+        return jnp.moveaxis(P, 0, -2)  # [Y, X, F, F]
+
+    eye = jnp.eye(n_fields, dtype=dtype)
+
+    def small_inv(A):
+        """Batched inverse of [..., F, F] via unrolled Gauss-Jordan.
+
+        TPU's LuDecomposition doesn't support f64 (and batched tiny LU is a
+        poor fit anyway); unrolled elimination lowers to pure VPU ops. The
+        blocks are strongly diagonally dominant (mass/dt on the diagonal), so
+        no pivoting is needed.
+        """
+        n = A.shape[-1]
+        aug = jnp.concatenate(
+            [A, jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)], axis=-1)
+        for i in range(n):
+            piv = aug[..., i, :] / aug[..., i, i][..., None]
+            rows = []
+            for r in range(n):
+                if r == i:
+                    rows.append(piv)
+                else:
+                    rows.append(aug[..., r, :] - aug[..., r, i][..., None] * piv)
+            aug = jnp.stack(rows, axis=-2)
+        return aug[..., :, n:]
+
+    def build(w, w0, dt):
+        v, m = w
+        v0, m0 = w0
+        Pv = blocks_for(v, v0, dt, mass_v, sxx_v, syy_v)
+        Pm = blocks_for(m, m0, dt, mass_m, sxx_m, syy_m)
+        # Dirichlet rows are identity (residual row is u - g)
+        for bc in dirichlet:
+            row = eye[bc.field]
+            if bc.side == "left":
+                Pv = Pv.at[:, 0, bc.field, :].set(row)
+            elif bc.side == "right":
+                Pv = Pv.at[:, -1, bc.field, :].set(row)
+            elif bc.side == "bottom":
+                Pv = Pv.at[0, :, bc.field, :].set(row)
+            elif bc.side == "top":
+                Pv = Pv.at[-1, :, bc.field, :].set(row)
+        Pv_inv = small_inv(Pv)
+        Pm_inv = small_inv(Pm)
+
+        def Minv(r):
+            rv, rm = r
+            sv = jnp.einsum("yxij,jyx->iyx", Pv_inv, rv)
+            sm = jnp.einsum("yxij,jyx->iyx", Pm_inv, rm)
+            return sv, sm
+
+        return Minv
+
+    return build
+
+
+def make_identity_precond():
+    def build(w, w0, dt):
+        return lambda r: r
+
+    return build
+
+
+BUILDERS = {"none": lambda *a, **k: make_identity_precond(),
+            "block_jacobi": make_block_jacobi}

@@ -1,0 +1,131 @@
+"""Adaptive implicit-Euler time loop — the reference's duplicated driver loop
+(dolfin/bench1.py:145-198, section 3.3 of SURVEY.md) extracted once, finishing
+what dolfinx/pfbase/time_loop.py stubbed.
+
+Semantics match the reference exactly:
+
+  - every solve attempt starts from the previous accepted state ``w0``
+    (reference does ``w.assign(w0)`` on failure; the first attempt's initial
+    guess is the previous solution),
+  - on nonconvergence: ``dt = max(dt/2, dt_min)``, retry,
+  - after success:    ``dt = 2 dt`` if Newton iters < grow_threshold else
+    ``dt = max(dt/2, dt_min)``,
+  - loop while ``t < end_time + eps`` (the final step overshoots end_time,
+    matching the committed CSVs, e.g. bench1's last row t=1031.9).
+
+The Newton solve is one device dispatch; only (niters, converged) cross back
+to the host per attempt — the data-dependent dt control is inherently host
+logic (SURVEY.md section 3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from pfhubbenchmarks_tpu.benchmarks.base import BenchmarkProblem
+from pfhubbenchmarks_tpu.solve.newton import make_newton_solver
+
+_EPS = 3e-16  # DOLFIN_EPS
+
+
+@dataclasses.dataclass
+class StepStats:
+    step: int
+    t: float
+    dt: float
+    newton_iters: int
+    krylov_iters: int
+    retries: int
+    res_norm: float
+    wall: float
+
+
+@dataclasses.dataclass
+class RunResult:
+    rows: np.ndarray              # [n_steps, 1 + n_observables]
+    stats: list[StepStats]
+    state: tuple
+    wall_total: float
+    columns: tuple[str, ...]
+
+
+def run(problem: BenchmarkProblem, *, end_time: float | None = None,
+        max_steps: int | None = None, verbose: bool = True,
+        max_retries_at_dt_min: int = 60,
+        state0=None, t0: float | None = None, dt0: float | None = None,
+        on_step: Callable[[StepStats, tuple], None] | None = None) -> RunResult:
+    """Run a benchmark to final time; returns the CSV rows + per-step stats."""
+    tc = problem.time
+    end_time = tc.end_time if end_time is None else end_time
+    residual = problem.residual()
+    newton = make_newton_solver(residual, problem.solver, problem.precond_builder())
+    obs_fns = {k: jax.jit(f) for k, f in problem.observable_fns().items()}
+
+    w = problem.initial_state() if state0 is None else state0
+    t = tc.t0 if t0 is None else t0
+    dt = tc.dt0 if dt0 is None else dt0
+
+    rows = []
+    stats: list[StepStats] = []
+    wall_start = _time.time()
+    step = 0
+
+    while t < end_time + _EPS:
+        if max_steps is not None and step >= max_steps:
+            break
+        step += 1
+        tprev = t
+        w0 = w
+        retries = 0
+        t = tprev + dt
+        t_attempt = _time.time()
+        res = newton(w0, w0, dt)
+        niters = int(res.iters)
+        while not bool(res.converged):
+            retries += 1
+            if dt <= tc.dt_min * (1 + 1e-12) and retries > max_retries_at_dt_min:
+                raise RuntimeError(
+                    f"{problem.name}: step {step} failed {retries} times at dt_min="
+                    f"{tc.dt_min}; |F|={float(res.res_norm):.3e}")
+            dt = max(0.5 * dt, tc.dt_min)
+            t = tprev + dt
+            if verbose:
+                print(f"  REPEATING step {step}. t={t:.6g} dt={dt:.6g}")
+            res = newton(w0, w0, dt)
+            niters = int(res.iters)
+        w = res.x
+        wall = _time.time() - t_attempt
+
+        # reference adaptive rule (dolfin/bench1.py:179-183)
+        if niters < tc.grow_threshold:
+            dt = 2.0 * dt
+        else:
+            dt = max(0.5 * dt, tc.dt_min)
+
+        obs = [float(obs_fns[c](w)) for c in problem.csv_columns[1:]]
+        rows.append([t] + obs)
+        st = StepStats(step=step, t=t, dt=dt, newton_iters=niters,
+                       krylov_iters=int(res.krylov_iters), retries=retries,
+                       res_norm=float(res.res_norm), wall=wall)
+        stats.append(st)
+        if verbose:
+            obs_str = ", ".join(f"{c}={v:.10g}" for c, v in zip(problem.csv_columns[1:], obs))
+            print(f"step {step:4d}  t={t:<12.6g} dt={st.dt:<10.4g} "
+                  f"newton={niters} krylov={st.krylov_iters} {obs_str}  ({wall:.3f}s)")
+        if on_step is not None:
+            on_step(st, w)
+        if problem.abort_condition is not None:
+            row = dict(zip(problem.csv_columns, rows[-1]))
+            if problem.abort_condition(row):
+                if verbose:
+                    print(f"abort condition hit at step {step}; stopping")
+                break
+
+    return RunResult(rows=np.asarray(rows), stats=stats, state=w,
+                     wall_total=_time.time() - wall_start,
+                     columns=problem.csv_columns)

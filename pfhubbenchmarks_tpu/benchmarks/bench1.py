@@ -43,7 +43,7 @@ def ic_c(p: Bench1Params):
 
 
 def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
-         params: Bench1Params = Bench1Params(), **overrides) -> BenchmarkProblem:
+         params: Bench1Params = Bench1Params(), pad_to: tuple = (1, 1), **overrides) -> BenchmarkProblem:
     p = params
 
     def dfdc(c):
@@ -66,7 +66,7 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
 
     return BenchmarkProblem(
         name="bench1",
-        grid=CrossedTriGrid(nx, ny, Lx, Ly),
+        grid=CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to),
         field_names=("c", "mu"),
         terms=terms,
         ic_fns=[ic_c(p), lambda x, y: 0.0],

@@ -70,7 +70,7 @@ def ic_eta(p: Bench2Params, i: int):
 
 
 def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
-         params: Bench2Params = Bench2Params(), **overrides) -> BenchmarkProblem:
+         params: Bench2Params = Bench2Params(), pad_to: tuple = (1, 1), **overrides) -> BenchmarkProblem:
     p = params
     rho2 = p.rho ** 2
 
@@ -128,7 +128,7 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
 
     return BenchmarkProblem(
         name="bench2",
-        grid=CrossedTriGrid(nx, ny, Lx, Ly),
+        grid=CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to),
         field_names=("c", "mu", "eta1", "eta2", "eta3", "eta4"),
         terms=terms,
         ic_fns=[ic_c(p), lambda x, y: 0.0] + [ic_eta(p, i) for i in range(NUM_ETA)],

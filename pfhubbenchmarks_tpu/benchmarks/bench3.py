@@ -60,7 +60,7 @@ def ic_phi(p: Bench3Params):
 
 
 def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
-         params: Bench3Params = Bench3Params(), anisotropy: bool = False,
+         params: Bench3Params = Bench3Params(), pad_to: tuple = (1, 1), anisotropy: bool = False,
          **overrides) -> BenchmarkProblem:
     p = params
     lam = p.lam
@@ -106,7 +106,7 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
 
     return BenchmarkProblem(
         name="bench3",
-        grid=CrossedTriGrid(nx, ny, Lx, Ly),
+        grid=CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to),
         field_names=("U", "phi"),
         terms=terms,
         ic_fns=[lambda x, y: np.full_like(np.asarray(x, float), p.Delta), ic_phi(p)],

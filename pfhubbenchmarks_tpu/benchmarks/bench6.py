@@ -48,7 +48,7 @@ def ic_c(p: Bench6Params):
 
 
 def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
-         params: Bench6Params = Bench6Params(), **overrides) -> BenchmarkProblem:
+         params: Bench6Params = Bench6Params(), pad_to: tuple = (1, 1), **overrides) -> BenchmarkProblem:
     p = params
 
     def f_chem(c):
@@ -72,7 +72,7 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         return (f_chem(c) + p.k * c * phi / 2.0
                 + p.kappa / 2.0 * (dc[0] ** 2 + dc[1] ** 2))
 
-    grid = CrossedTriGrid(nx, ny, Lx, Ly)
+    grid = CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to)
     dirichlet = (
         DirichletBC.make(grid, field=2, side="left", fn=lambda y: 0.0 * y),
         DirichletBC.make(grid, field=2, side="right", fn=lambda y: np.sin(y / 7.0)),

@@ -44,29 +44,43 @@ from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid, Tabulation
 # gather / scatter between grids and per-cell slot arrays
 # ---------------------------------------------------------------------------
 
-def local_values(w):
-    """Gather cell-local slot values: (v, m) -> [5, F, ny, nx] (views)."""
+def local_values(w, ny: int, nx: int):
+    """Gather cell-local slot values: (v, m) -> [5, F, ny, nx].
+
+    Slices the logical region out of (possibly padded) storage; under SPMD
+    sharding the shifted slices become XLA-inserted halo reads.
+    """
     v, m = w
     return jnp.stack(
-        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, 1:], v[:, 1:, :-1], m], axis=0
+        [
+            v[:, :ny, :nx],
+            v[:, :ny, 1 : nx + 1],
+            v[:, 1 : ny + 1, 1 : nx + 1],
+            v[:, 1 : ny + 1, :nx],
+            m[:, :ny, :nx],
+        ],
+        axis=0,
     )
 
 
-def scatter_add(r_loc):
+def scatter_add(r_loc, vshape, mshape, ny: int, nx: int):
     """Scatter per-cell slot contributions back: [5, F, ny, nx] -> (rv, rm).
 
     Implemented as pad-and-add so XLA's SPMD partitioner turns shard-edge
     contributions into halo exchanges (the ghostUpdate(ADD, REVERSE)
-    equivalent, cf. dolfinx/pfbase/pde_problems.py:161).
+    equivalent, cf. dolfinx/pfbase/pde_problems.py:161). Output arrays are
+    padded to the stored shapes; padding stays exactly zero.
     """
     pad = jnp.pad
+    ey, ex = vshape[0] - (ny + 1), vshape[1] - (nx + 1)
     rv = (
-        pad(r_loc[0], ((0, 0), (0, 1), (0, 1)))
-        + pad(r_loc[1], ((0, 0), (0, 1), (1, 0)))
-        + pad(r_loc[2], ((0, 0), (1, 0), (1, 0)))
-        + pad(r_loc[3], ((0, 0), (1, 0), (0, 1)))
+        pad(r_loc[0], ((0, 0), (0, 1 + ey), (0, 1 + ex)))
+        + pad(r_loc[1], ((0, 0), (0, 1 + ey), (1, ex)))
+        + pad(r_loc[2], ((0, 0), (1, ey), (1, ex)))
+        + pad(r_loc[3], ((0, 0), (1, ey), (0, 1 + ex)))
     )
-    return rv, r_loc[4]
+    rm = jnp.pad(r_loc[4], ((0, 0), (0, mshape[0] - ny), (0, mshape[1] - nx)))
+    return rv, rm
 
 
 # ---------------------------------------------------------------------------
@@ -130,12 +144,14 @@ def make_residual(
         gy = jnp.asarray(gy, dtype)
 
     full_shape = (4, tab.nq, grid.ny, grid.nx)
+    ny, nx = grid.ny, grid.nx
+    vshape, mshape = grid.vshape, grid.mshape
 
     def residual(w, w0, dt):
-        loc = local_values(w)
+        loc = local_values(w, ny, nx)
         uq, du = _eval_qp(Bq, Gs, loc)
         u_t, du_t = _as_tuples(uq, du)
-        loc0 = local_values(w0)
+        loc0 = local_values(w0, ny, nx)
         u0q, du0 = _eval_qp(Bq, Gs, loc0)
         u0_t, du0_t = _as_tuples(u0q, du0)
         ctx = QPContext(
@@ -151,7 +167,7 @@ def make_residual(
             + jnp.einsum("tqs,ftqyx->sfyx", WGx, fx)
             + jnp.einsum("tqs,ftqyx->sfyx", WGy, fy)
         )
-        rv, rm = scatter_add(r_loc)
+        rv, rm = scatter_add(r_loc, vshape, mshape, ny, nx)
         for bc in dirichlet:
             rv = bc.apply_residual(rv, w[0])
         return rv, rm
@@ -180,9 +196,10 @@ def make_functional(
         gy = jnp.asarray(gy, dtype)
 
     full_shape = (4, tab.nq, grid.ny, grid.nx)
+    ny, nx = grid.ny, grid.nx
 
     def value(w):
-        loc = local_values(w)
+        loc = local_values(w, ny, nx)
         uq, du = _eval_qp(Bq, Gs, loc)
         u_t, du_t = _as_tuples(uq, du)
         ctx = QPContext(
@@ -212,34 +229,36 @@ class DirichletBC:
 
     field: int
     side: str
-    g: np.ndarray  # nodal boundary values [edge_len]
+    g: np.ndarray   # boundary values, padded to the stored edge length
+    index: int      # logical row/col index of the boundary line
 
     @staticmethod
     def make(grid: CrossedTriGrid, field: int, side: str, fn) -> "DirichletBC":
         if side in ("left", "right"):
             coord = np.arange(grid.ny + 1) * grid.hy
+            stored = grid.vshape[0]
+            index = 0 if side == "left" else grid.nx
         else:
             coord = np.arange(grid.nx + 1) * grid.hx
-        g = np.broadcast_to(np.asarray(fn(coord), dtype=np.float64), coord.shape)
-        return DirichletBC(field=field, side=side, g=np.array(g))
+            stored = grid.vshape[1]
+            index = 0 if side == "bottom" else grid.ny
+        g = np.zeros(stored)
+        g[: coord.size] = np.broadcast_to(np.asarray(fn(coord), dtype=np.float64),
+                                          coord.shape)
+        return DirichletBC(field=field, side=side, g=g, index=index)
 
     def apply_residual(self, rv, v):
+        """Replace the BC rows with ``u - g`` (padding rows stay 0 - 0 = 0)."""
         gj = jnp.asarray(self.g, rv.dtype)
-        f = self.field
-        if self.side == "left":
-            return rv.at[f, :, 0].set(v[f, :, 0] - gj)
-        if self.side == "right":
-            return rv.at[f, :, -1].set(v[f, :, -1] - gj)
-        if self.side == "bottom":
-            return rv.at[f, 0, :].set(v[f, 0, :] - gj)
-        if self.side == "top":
-            return rv.at[f, -1, :].set(v[f, -1, :] - gj)
-        raise ValueError(self.side)
+        f, i = self.field, self.index
+        if self.side in ("left", "right"):
+            return rv.at[f, :, i].set(v[f, :, i] - gj)
+        return rv.at[f, i, :].set(v[f, i, :] - gj)
 
     def apply_value(self, v):
         """Set the BC values into a state array (used for initial guesses)."""
         gj = jnp.asarray(self.g, v.dtype)
-        f = self.field
-        idx = {"left": (slice(None), 0), "right": (slice(None), -1),
-               "bottom": (0, slice(None)), "top": (-1, slice(None))}[self.side]
-        return v.at[(f,) + idx].set(gj)
+        f, i = self.field, self.index
+        if self.side in ("left", "right"):
+            return v.at[f, :, i].set(gj)
+        return v.at[f, i, :].set(gj)

@@ -94,15 +94,28 @@ def tabulate(hx: float, hy: float, rule: TriRule) -> Tabulation:
     return Tabulation(Bq=Bq, Gs=Gs, wq=wq, xq=xq)
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 @dataclasses.dataclass(frozen=True)
 class CrossedTriGrid:
-    """nx x ny cells over [0, Lx] x [0, Ly], each crossed into 4 triangles."""
+    """nx x ny cells over [0, Lx] x [0, Ly], each crossed into 4 triangles.
+
+    ``pad_to = (py, px)`` rounds the stored Y/X dims of both grids up to
+    multiples — required for even SPMD sharding over a device mesh (the
+    vertex grid is odd-sized by construction) and useful for TPU lane/sublane
+    alignment (px=128). Padding regions hold zeros and are ignored by
+    assembly (logical-region slicing); residuals stay exactly zero there, so
+    Krylov dots and norms are unaffected.
+    """
 
     nx: int
     ny: int
     Lx: float
     Ly: float
     rule_name: str = "ffc3"
+    pad_to: tuple[int, int] = (1, 1)
 
     @property
     def hx(self) -> float:
@@ -115,6 +128,29 @@ class CrossedTriGrid:
     @property
     def n_nodes(self) -> int:
         return (self.nx + 1) * (self.ny + 1) + self.nx * self.ny
+
+    @property
+    def vshape(self) -> tuple[int, int]:
+        """Stored (padded) vertex-grid shape; logical is (ny+1, nx+1)."""
+        py, px = self.pad_to
+        return _round_up(self.ny + 1, py), _round_up(self.nx + 1, px)
+
+    @property
+    def mshape(self) -> tuple[int, int]:
+        """Stored (padded) center-grid shape; logical is (ny, nx)."""
+        py, px = self.pad_to
+        return _round_up(self.ny, py), _round_up(self.nx, px)
+
+    def pad_state(self, v: np.ndarray, m: np.ndarray):
+        """Embed logical nodal arrays [F, ny+1, nx+1] / [F, ny, nx] into
+        padded storage."""
+        Yv, Xv = self.vshape
+        Ym, Xm = self.mshape
+        vp = np.zeros((v.shape[0], Yv, Xv), v.dtype)
+        vp[:, : self.ny + 1, : self.nx + 1] = v
+        mp = np.zeros((m.shape[0], Ym, Xm), m.dtype)
+        mp[:, : self.ny, : self.nx] = m
+        return vp, mp
 
     def tab(self) -> Tabulation:
         return tabulate(self.hx, self.hy, get_rule(self.rule_name))
@@ -146,7 +182,7 @@ class CrossedTriGrid:
         cx, cy = self.center_coords()
         v = np.stack([np.broadcast_to(f(vx, vy), vx.shape) for f in fns]).astype(dtype)
         m = np.stack([np.broadcast_to(f(cx, cy), cx.shape) for f in fns]).astype(dtype)
-        return v, m
+        return self.pad_state(v, m)
 
     def qpoint_coords(self) -> tuple[np.ndarray, np.ndarray]:
         """Global (x, y) of all quadrature points, each [4, nq, ny, nx]."""

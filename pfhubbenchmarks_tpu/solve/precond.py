@@ -55,9 +55,19 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
     diagonal here).
     """
     diags = grid.node_diagonals()
-    mass_v, mass_m = (jnp.asarray(d, dtype) for d in diags["mass"])
-    sxx_v, sxx_m = (jnp.asarray(d, dtype) for d in diags["stiff_xx"])
-    syy_v, syy_m = (jnp.asarray(d, dtype) for d in diags["stiff_yy"])
+
+    def _pad(dv, dm):
+        """Pad diag arrays to stored shapes with 1.0 so padding blocks are
+        well-conditioned (state and residual are zero there anyway)."""
+        pv = np.ones(grid.vshape)
+        pv[: dv.shape[0], : dv.shape[1]] = dv
+        pm = np.ones(grid.mshape)
+        pm[: dm.shape[0], : dm.shape[1]] = dm
+        return jnp.asarray(pv, dtype), jnp.asarray(pm, dtype)
+
+    mass_v, mass_m = _pad(*diags["mass"])
+    sxx_v, sxx_m = _pad(*diags["stiff_xx"])
+    syy_v, syy_m = _pad(*diags["stiff_yy"])
 
     def blocks_for(u_nodal, u0_nodal, dt, mass_d, sxx_d, syy_d):
         """u_nodal [F, Y, X] -> P [Y, X, F, F]."""
@@ -111,14 +121,10 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
         # Dirichlet rows are identity (residual row is u - g)
         for bc in dirichlet:
             row = eye[bc.field]
-            if bc.side == "left":
-                Pv = Pv.at[:, 0, bc.field, :].set(row)
-            elif bc.side == "right":
-                Pv = Pv.at[:, -1, bc.field, :].set(row)
-            elif bc.side == "bottom":
-                Pv = Pv.at[0, :, bc.field, :].set(row)
-            elif bc.side == "top":
-                Pv = Pv.at[-1, :, bc.field, :].set(row)
+            if bc.side in ("left", "right"):
+                Pv = Pv.at[:, bc.index, bc.field, :].set(row)
+            else:
+                Pv = Pv.at[bc.index, :, bc.field, :].set(row)
         Pv_inv = small_inv(Pv)
         Pm_inv = small_inv(Pm)
 

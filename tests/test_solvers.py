@@ -1,0 +1,107 @@
+"""Krylov + Newton solver validation against scipy and manufactured problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from pfhubbenchmarks_tpu.config import SolverConfig
+from pfhubbenchmarks_tpu.solve import tree as tr
+from pfhubbenchmarks_tpu.solve.krylov import bicgstab, gmres
+from pfhubbenchmarks_tpu.solve.newton import make_newton_solver
+
+
+def _random_spd_system(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    # 1D Laplacian + diagonal noise: SPD, nontrivially conditioned
+    A = sp.diags([-1, 2.2, -1], [-1, 0, 1], shape=(n, n)).toarray()
+    A += np.diag(rng.uniform(0, 0.5, n))
+    b = rng.standard_normal(n)
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+def test_gmres_matches_direct():
+    A, b = _random_spd_system()
+    res = gmres(lambda v: A @ v, b, rtol=1e-12, maxiter=500)
+    expect = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), expect, rtol=1e-8, atol=1e-10)
+
+
+def test_gmres_restart_cycles():
+    A, b = _random_spd_system(n=128, seed=1)
+    res = gmres(lambda v: A @ v, b, restart=10, rtol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    assert int(res.iters) > 10  # must have gone through restarts
+    expect = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), expect, rtol=1e-6, atol=1e-8)
+
+
+def test_gmres_preconditioned_converges_faster():
+    A, b = _random_spd_system(n=128, seed=2)
+    d = jnp.diag(A)
+    plain = gmres(lambda v: A @ v, b, rtol=1e-10, maxiter=1000)
+    pc = gmres(lambda v: A @ v, b, Minv=lambda r: r / d, rtol=1e-10, maxiter=1000)
+    assert bool(pc.converged)
+    assert int(pc.iters) <= int(plain.iters)
+
+
+def test_bicgstab_matches_direct():
+    A, b = _random_spd_system(seed=3)
+    res = bicgstab(lambda v: A @ v, b, rtol=1e-12, maxiter=500)
+    expect = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), expect, rtol=1e-7, atol=1e-9)
+
+
+def test_krylov_pytree_vectors():
+    A, b = _random_spd_system(n=32, seed=4)
+
+    def mv(x):
+        u, v = x
+        return (A[:16, :16] @ u + v, A[16:, 16:] @ v + u)
+
+    bb = (b[:16], b[16:])
+    res = gmres(mv, bb, rtol=1e-12, maxiter=300)
+    # compare vs dense block system
+    M = np.zeros((32, 32))
+    M[:16, :16] = np.asarray(A[:16, :16])
+    M[:16, 16:] = np.eye(16)
+    M[16:, 16:] = np.asarray(A[16:, 16:])
+    M[16:, :16] = np.eye(16)
+    expect = np.linalg.solve(M, np.asarray(b))
+    got = np.concatenate([np.asarray(res.x[0]), np.asarray(res.x[1])])
+    np.testing.assert_allclose(got, expect, rtol=1e-8, atol=1e-10)
+
+
+def test_newton_solves_nonlinear_system():
+    """u solves A u + u^3 = b (the nl.py-style solver smoke test,
+    dolfin/nl.py:37-96 / dolfinx/nl.py:50-151)."""
+    A, b = _random_spd_system(n=48, seed=5)
+
+    def residual(u, u_prev, dt):
+        return A @ u + u**3 - b
+
+    cfg = SolverConfig(newton_atol=1e-10, newton_max_iters=20, krylov_rtol=1e-10)
+    solve = make_newton_solver(residual, cfg, lambda w, w0, dt: (lambda r: r))
+    x0 = jnp.zeros_like(b)
+    res = solve(x0, x0, 1.0)
+    assert bool(res.converged)
+    assert int(res.iters) < 15
+    final = np.asarray(A @ res.x + res.x**3 - b)
+    assert np.linalg.norm(final) < 1e-9
+
+
+def test_newton_reports_nonconvergence():
+    # impossible tolerance within 1 iteration on a strongly nonlinear system
+    A, b = _random_spd_system(n=16, seed=6)
+
+    def residual(u, u_prev, dt):
+        return A @ u + 50.0 * jnp.sin(u) - b
+
+    cfg = SolverConfig(newton_atol=1e-14, newton_rtol=1e-16, newton_max_iters=1)
+    solve = make_newton_solver(residual, cfg, lambda w, w0, dt: (lambda r: r))
+    x0 = jnp.zeros_like(b)
+    res = solve(x0, x0, 1.0)
+    assert not bool(res.converged)
+    assert int(res.iters) == 1

@@ -32,7 +32,9 @@ class BenchmarkProblem:
     csv_columns: tuple[str, ...]          # e.g. (time, total_free_energy, total_solute)
     time: TimeConfig = TimeConfig()
     solver: SolverConfig = SolverConfig()
-    dirichlet: tuple[DirichletBC, ...] = ()
+    # (field, side, fn(coord)) specs — instantiated per grid so multigrid can
+    # rebuild BCs on coarse levels
+    dirichlet_spec: tuple = ()
     needs_coords: bool = False
     dtype: type = jnp.float64
     # optional scaling applied to an observable value after integration
@@ -44,6 +46,14 @@ class BenchmarkProblem:
     @property
     def n_fields(self) -> int:
         return len(self.field_names)
+
+    def dirichlet_for(self, grid) -> tuple[DirichletBC, ...]:
+        return tuple(DirichletBC.make(grid, f, side, fn)
+                     for (f, side, fn) in self.dirichlet_spec)
+
+    @property
+    def dirichlet(self) -> tuple[DirichletBC, ...]:
+        return self.dirichlet_for(self.grid)
 
     def initial_state(self):
         v, m = self.grid.interpolate(self.ic_fns)
@@ -63,6 +73,17 @@ class BenchmarkProblem:
         kind = self.solver.precond
         if kind == "none":
             return BUILDERS["none"]()
+        if kind == "gmg":
+            from pfhubbenchmarks_tpu.solve.gmg import make_gmg
+
+            s = self.solver
+            return make_gmg(
+                self.grid, self.terms, self.n_fields,
+                dirichlet_for=self.dirichlet_for, dtype=self.dtype,
+                needs_coords=self.needs_coords, nu_pre=s.gmg_nu_pre,
+                nu_post=s.gmg_nu_post, omega=s.gmg_omega,
+                coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
+            )
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,
             dtype=self.dtype, needs_coords=self.needs_coords,

@@ -16,7 +16,7 @@ import numpy as np
 
 from pfhubbenchmarks_tpu.benchmarks.base import BenchmarkProblem
 from pfhubbenchmarks_tpu.config import SolverConfig, TimeConfig
-from pfhubbenchmarks_tpu.fem.assembly import DirichletBC
+
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 from pfhubbenchmarks_tpu.models import forms
 
@@ -73,9 +73,9 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
                 + p.kappa / 2.0 * (dc[0] ** 2 + dc[1] ** 2))
 
     grid = CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to)
-    dirichlet = (
-        DirichletBC.make(grid, field=2, side="left", fn=lambda y: 0.0 * y),
-        DirichletBC.make(grid, field=2, side="right", fn=lambda y: np.sin(y / 7.0)),
+    dirichlet_spec = (
+        (2, "left", lambda y: 0.0 * y),
+        (2, "right", lambda y: np.sin(y / 7.0)),
     )
 
     return BenchmarkProblem(
@@ -90,8 +90,8 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         },
         csv_columns=("time", "total_free_energy", "total_solute"),
         time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=3.0, grow_threshold=5),
-        solver=SolverConfig(line_search="cp", krylov_max_iters=5000),
-        dirichlet=dirichlet,
+        solver=SolverConfig(line_search="cp", krylov_max_iters=300),
+        dirichlet_spec=dirichlet_spec,
         **overrides,
     )
 

@@ -40,12 +40,22 @@ class SolverConfig:
     newton_max_iters: int = 10
     newton_div_tol: float = 1e4     # PETSc SNES divergence tolerance
     line_search: str = "basic"      # 'basic' | 'bt' | 'cp'
-    krylov: str = "gmres"           # 'gmres' | 'bicgstab'
+    krylov: str = "fgmres"          # 'gmres' | 'fgmres' | 'bicgstab'
     krylov_rtol: float = 1e-5       # PETSc KSP default rtol
     krylov_atol: float = 1e-50
-    krylov_max_iters: int = 1000
+    # With the V-cycle preconditioner, a solve that hasn't converged by ~100
+    # iterations never will (the reference's SOR needed its 1000/5000 caps,
+    # dolfin/bench1.py:110, bench6.py:135); a tight cap makes the
+    # fail->halve-dt path cheap.
+    krylov_max_iters: int = 120
     gmres_restart: int = 30
-    precond: str = "block_jacobi"   # 'none' | 'block_jacobi'
+    precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
+    # geometric-multigrid settings (precond='gmg')
+    gmg_nu_pre: int = 2
+    gmg_nu_post: int = 2
+    gmg_omega: float = 0.8
+    gmg_coarse_sweeps: int = 24
+    gmg_max_levels: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -141,6 +141,114 @@ def gmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
     return KrylovResult(out["x"], out["it"], out["res"] <= tol, out["res"])
 
 
+def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
+           maxiter=1000) -> KrylovResult:
+    """Flexible (right-preconditioned) restarted GMRES.
+
+    Stores the preconditioned directions Z_k = M(v_k), so M may be a
+    *nonlinear* operation — required when the preconditioner is a multigrid
+    V-cycle whose coarse level is itself an inner Krylov solve (solve/gmg.py).
+    Convergence is on the true residual: ||b - Ax|| <= max(rtol*||b||, atol)
+    (PETSc KSPFGMRES semantics).
+    """
+    Minv = Minv or _identity
+    x0 = x0 if x0 is not None else tr.zeros_like(b)
+    m = restart
+    bnorm = tr.norm(b)
+    dtype = bnorm.dtype
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def init_cycle(x):
+        r = tr.sub(b, matvec(x))
+        beta = tr.norm(r)
+        V = tr.basis_set(tr.basis_zeros(b, m + 1), 0, tr.scale(tr.safe_inv(beta), r))
+        Z = tr.basis_zeros(b, m)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.ones(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        return V, Z, H, cs, sn, g, jnp.array(0, jnp.int32), beta
+
+    V0, Z0, H0, cs0, sn0, g0, k0, beta0 = init_cycle(x0)
+    state0 = dict(x=x0, V=V0, Z=Z0, H=H0, cs=cs0, sn=sn0, g=g0, k=k0,
+                  it=jnp.array(0, jnp.int32), res=beta0, done=beta0 <= tol)
+
+    def cond(s):
+        return ~s["done"] & (s["it"] < maxiter)
+
+    def body(s):
+        k = s["k"]
+        vk = tr.basis_get(s["V"], k)
+        zk = Minv(vk)
+        Z = tr.basis_set(s["Z"], k, zk)
+        w = matvec(zk)
+        mask = (jnp.arange(m + 1) <= k).astype(dtype)
+        h1 = tr.basis_dots(s["V"], w) * mask
+        w = tr.sub(w, tr.basis_comb(s["V"], h1))
+        h2 = tr.basis_dots(s["V"], w) * mask
+        w = tr.sub(w, tr.basis_comb(s["V"], h2))
+        h = h1 + h2
+        hk1 = tr.norm(w)
+        V = tr.basis_set(s["V"], k + 1, tr.scale(tr.safe_inv(hk1), w))
+
+        def rot(i, hcol):
+            hi = hcol[i]
+            hi1 = hcol[i + 1]
+            ci = s["cs"][i]
+            si = s["sn"][i]
+            on = (i < k).astype(dtype)
+            new_i = ci * hi + si * hi1
+            new_i1 = -si * hi + ci * hi1
+            hcol = hcol.at[i].set(on * new_i + (1 - on) * hi)
+            return hcol.at[i + 1].set(on * new_i1 + (1 - on) * hi1)
+
+        hcol = h.at[jnp.minimum(k + 1, m)].set(hk1)
+        hcol = lax.fori_loop(0, m, rot, hcol)
+        hk = hcol[k]
+        hkk = hcol[jnp.minimum(k + 1, m)]
+        denom = jnp.sqrt(hk * hk + hkk * hkk)
+        ck = jnp.where(denom > 0, hk / jnp.where(denom > 0, denom, 1.0), 1.0)
+        sk = jnp.where(denom > 0, hkk / jnp.where(denom > 0, denom, 1.0), 0.0)
+        cs = s["cs"].at[k].set(ck)
+        sn = s["sn"].at[k].set(sk)
+        hcol = hcol.at[k].set(denom).at[jnp.minimum(k + 1, m)].set(0.0)
+        gk = s["g"][k]
+        g = s["g"].at[k].set(ck * gk).at[k + 1].set(-sk * gk)
+        H = lax.dynamic_update_slice(s["H"], hcol[:m, None],
+                                     (jnp.zeros_like(k), k))
+        res = jnp.abs(g[k + 1])
+        it = s["it"] + 1
+        conv = res <= tol
+        end_cycle = conv | (k + 1 >= m) | (it >= maxiter) | (hk1 == 0.0)
+
+        def finalize(_):
+            kk = k + 1
+            col_mask = jnp.arange(m) < kk
+            Hm = jnp.where(col_mask[None, :] & col_mask[:, None], H[:m, :m], 0.0)
+            Hm = Hm + jnp.where(col_mask, 0.0, 1.0) * jnp.eye(m, dtype=dtype)
+            gm = jnp.where(col_mask, g[:m], 0.0)
+
+            def back_sub(i, y):
+                row = m - 1 - i
+                resid = gm[row] - jnp.dot(Hm[row, :], y)
+                return y.at[row].set(resid / Hm[row, row])
+
+            y = lax.fori_loop(0, m, back_sub, jnp.zeros(m, dtype))
+            xn = tr.add(s["x"], tr.basis_comb(Z, y))
+            Vn, Zn, Hn, csn, snn, gn, kn, _ = init_cycle(xn)
+            return dict(x=xn, V=Vn, Z=Zn, H=Hn, cs=csn, sn=snn, g=gn, k=kn,
+                        it=it, res=res, done=conv | (it >= maxiter))
+
+        def continue_cycle(_):
+            return dict(x=s["x"], V=V, Z=Z, H=H, cs=cs, sn=sn, g=g, k=k + 1,
+                        it=it, res=res, done=jnp.array(False))
+
+        return lax.cond(end_cycle, finalize, continue_cycle, None)
+
+    out = lax.while_loop(cond, body, state0)
+    return KrylovResult(out["x"], out["it"], out["res"] <= tol, out["res"])
+
+
 def bicgstab(matvec, b, x0=None, Minv=None, *, rtol=1e-5, atol=1e-50,
              maxiter=1000, **_) -> KrylovResult:
     """Left-preconditioned BiCGStab (PETSc 'bcgs' equivalent)."""
@@ -182,4 +290,4 @@ def bicgstab(matvec, b, x0=None, Minv=None, *, rtol=1e-5, atol=1e-50,
     return KrylovResult(out["x"], out["it"], out["res"] <= tol, out["res"])
 
 
-SOLVERS = {"gmres": gmres, "bicgstab": bicgstab}
+SOLVERS = {"gmres": gmres, "fgmres": fgmres, "bicgstab": bicgstab}

@@ -1,0 +1,74 @@
+"""Headline benchmark: PFHub BM1 wall-clock to final time on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline derivation (no BM1 wall-clock is recorded in the reference; see
+BASELINE.md): the reference documents BM2 end_time=100 at 22-29 s on 32 MPI
+cores (dolfin/bench2.py:139-143). Scaling 32 -> 8 ranks (~3.3x on a
+memory-bound FEM assembly+GMRES workload) gives ~70-95 s; BM1 runs 73 steps
+vs BM2's 120 with a 2-field (vs 6-field) system (~0.4x per-step system cost,
+partially offset by BM1's larger late-time dt stiffness). Estimate used:
+**60 s for the canonical `mpirun -np 8 python dolfin/bench1.py`**
+(README.md:18-23). vs_baseline = baseline_seconds / our_seconds (>1 means
+faster than the baseline).
+
+Accuracy is reported alongside: max relative error of total_free_energy on
+the prefix of rows where our adaptive time grid coincides with
+results/bench1_out.csv, plus solute conservation drift.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_BM1_8RANK_SECONDS = 60.0
+REF_CSV = "/root/reference/results/bench1_out.csv"
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pfhubbenchmarks_tpu import timeloop
+    from pfhubbenchmarks_tpu.benchmarks.bench1 import make
+
+    problem = make()
+    # warm up compilation outside the timed region (compile time is a
+    # one-off artifact of the toolchain, not the solver)
+    warm = timeloop.run(problem, max_steps=1, verbose=False)
+
+    t0 = time.time()
+    result = timeloop.run(problem, verbose=False)
+    wall = time.time() - t0
+
+    rows = result.rows
+    out = {
+        "metric": "bench1_wall_clock_to_final_time",
+        "value": round(wall, 3),
+        "unit": "seconds",
+        "vs_baseline": round(BASELINE_BM1_8RANK_SECONDS / wall, 3),
+    }
+    if os.path.exists(REF_CSV):
+        ref = np.loadtxt(REF_CSV, delimiter=",", skiprows=1)
+        n = min(len(rows), len(ref))
+        match = np.isclose(rows[:n, 0], ref[:n, 0], rtol=1e-9)
+        k = int(np.argmin(match)) if not match.all() else n
+        if k > 0:
+            out["tfe_relerr_matched_rows"] = float(
+                (np.abs(rows[:k, 1] - ref[:k, 1]) / ref[:k, 1]).max())
+            out["matched_time_rows"] = k
+        out["ref_rows"] = int(len(ref))
+    out["steps"] = int(len(rows))
+    out["final_time"] = float(rows[-1, 0])
+    out["solute_drift_rel"] = float(
+        abs(rows[-1, 2] - rows[0, 2]) / abs(rows[0, 2]))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

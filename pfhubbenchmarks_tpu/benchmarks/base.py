@@ -42,6 +42,9 @@ class BenchmarkProblem:
     # optional early-abort predicate on a CSV row dict (bench3: TFE < 0,
     # dolfin/bench3.py:254-258)
     abort_condition: typing.Optional[Callable[[dict], bool]] = None
+    # non-integral observables: name -> fn(state) -> scalar (e.g. point
+    # samples via fem/sample.py)
+    custom_observables: dict[str, Callable] = dataclasses.field(default_factory=dict)
 
     @property
     def n_fields(self) -> int:
@@ -99,4 +102,5 @@ class BenchmarkProblem:
                 base = fn
                 fn = (lambda b, sc: (lambda w: b(w) * sc))(base, s)
             out[name] = fn
+        out.update(self.custom_observables)
         return out

@@ -1,0 +1,114 @@
+"""PFHub BM1 in 3D: Cahn-Hilliard on a 100^3 box, 50^3 hex/tet mesh.
+
+Reference: dolfin/b13d.py — BoxMesh 50^3 over 100^3 (:24-26), same CH
+parameters and IC as BM1 (the 2D cosine IC applied z-invariantly,
+pfbase.py:177-193 evaluated at 3D points which ignore x[2]), end_time=50,
+dt0=0.1, dt_min=1e-2 (:118-128), SNES basic + GMRES + SOR with
+max_it = Nx*Ny*Nz/10 (:97).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from pfhubbenchmarks_tpu.benchmarks.bench1 import Bench1Params
+from pfhubbenchmarks_tpu.config import SolverConfig, TimeConfig
+from pfhubbenchmarks_tpu.fem.assembly3d import make_functional3d, make_residual3d
+from pfhubbenchmarks_tpu.fem.grid3d import TetGrid
+from pfhubbenchmarks_tpu.models import forms
+from pfhubbenchmarks_tpu.solve.precond import make_block_jacobi3d
+
+
+@dataclasses.dataclass
+class Benchmark3DProblem:
+    """3D analog of BenchmarkProblem (single vertex grid, no Dirichlet)."""
+
+    name: str
+    grid: TetGrid
+    field_names: tuple
+    terms: object
+    ic_fns: list
+    observables: dict
+    csv_columns: tuple
+    time: TimeConfig
+    solver: SolverConfig
+    dtype: type = jnp.float64
+    abort_condition: object = None
+    custom_observables: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def n_fields(self) -> int:
+        return len(self.field_names)
+
+    def initial_state(self):
+        (v,) = self.grid.interpolate(self.ic_fns)
+        return (jnp.asarray(v, self.dtype),)
+
+    def residual(self):
+        return make_residual3d(self.grid, self.terms, self.n_fields,
+                               dtype=self.dtype)
+
+    def precond_builder(self):
+        return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
+                                   dtype=self.dtype)
+
+    def observable_fns(self):
+        return {name: make_functional3d(self.grid, density, dtype=self.dtype)
+                for name, density in self.observables.items()}
+
+
+def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
+         Ly: float = 100.0, Lz: float = 100.0,
+         params: Bench1Params = Bench1Params(), pad_to: tuple = (1, 1, 1),
+         **overrides) -> Benchmark3DProblem:
+    p = params
+
+    def dfdc(c):
+        return 2.0 * p.rho_s * (c - p.c_alpha) * (p.c_beta - c) * (
+            (p.c_beta - c) - (c - p.c_alpha))
+
+    def f_chem(c):
+        return p.rho_s * (c - p.c_alpha) ** 2 * (p.c_beta - c) ** 2
+
+    def terms(ctx):
+        c, mu = ctx.u
+        (sc, fc), (smu, fmu) = forms.cahn_hilliard(
+            c, mu, ctx.du[1], ctx.du[0], ctx.u0[0], ctx.dt, p.M, p.kappa, dfdc(c))
+        return [sc, smu], [fc, fmu]
+
+    def tfe_density(ctx):
+        c = ctx.u[0]
+        dc = ctx.du[0]
+        return f_chem(c) + p.kappa / 2.0 * (dc[0] ** 2 + dc[1] ** 2 + dc[2] ** 2)
+
+    def ic_c(x, y, z):
+        return p.c0 + p.epsilon * (
+            np.cos(0.105 * x) * np.cos(0.11 * y)
+            + (np.cos(0.13 * x) * np.cos(0.087 * y)) ** 2
+            + np.cos(0.025 * x - 0.15 * y) * np.cos(0.07 * x - 0.02 * y))
+
+    return Benchmark3DProblem(
+        name="bench1_3d",
+        grid=TetGrid(nx, ny, nz, Lx, Ly, Lz, pad_to=pad_to),
+        field_names=("c", "mu"),
+        terms=terms,
+        ic_fns=[ic_c, lambda x, y, z: 0.0 * x],
+        observables={
+            "total_free_energy": tfe_density,
+            "total_solute": lambda ctx: ctx.u[0],
+        },
+        csv_columns=("time", "total_free_energy", "total_solute"),
+        time=TimeConfig(dt0=1e-1, dt_min=1e-2, end_time=50.0, grow_threshold=5),
+        solver=SolverConfig(line_search="basic", precond="block_jacobi",
+                            krylov_max_iters=2000),
+        **overrides,
+    )
+
+
+if __name__ == "__main__":
+    from pfhubbenchmarks_tpu.benchmarks.registry import main
+
+    main("bench1_3d")

@@ -24,9 +24,9 @@ def cahn_hilliard(c, mu, dmu, dc, c0, dt, M, kappa, dfdc):
     Returns ((source_c, flux_c), (source_mu, flux_mu)).
     """
     src_c = (c - c0) / dt
-    flux_c = (M * dmu[0], M * dmu[1])
+    flux_c = tuple(M * d for d in dmu)
     src_mu = mu - dfdc
-    flux_mu = (-kappa * dc[0], -kappa * dc[1])
+    flux_mu = tuple(-kappa * d for d in dc)
     return (src_c, flux_c), (src_mu, flux_mu)
 
 
@@ -36,7 +36,7 @@ def allen_cahn(eta, deta, eta0, dt, L, kappa, dfdeta, f=0.0):
         d/dt eta = -L (f'(eta) - kappa lapl(eta)) + f
     """
     src = (eta - eta0) / dt + L * dfdeta - f
-    flux = (L * kappa * deta[0], L * kappa * deta[1])
+    flux = tuple(L * kappa * d for d in deta)
     return src, flux
 
 
@@ -46,14 +46,14 @@ def allen_cahn_rhs_ibp(deta, L, kappa, dfdeta, f=0.0):
     subtract). Used by bench3's latent-heat substitution
     (dolfin/bench3.py:88-93)."""
     src = -L * dfdeta + f
-    flux = (-L * kappa * deta[0], -L * kappa * deta[1])
+    flux = tuple(-L * kappa * d for d in deta)
     return src, flux
 
 
 def poisson(du, f, M=1.0):
     """Poisson block (dolfin/pfbase.py:410-421): div(M grad u) = f."""
     src = -f
-    flux = (-M * du[0], -M * du[1])
+    flux = tuple(-M * d for d in du)
     return src, flux
 
 
@@ -63,13 +63,13 @@ def diffusion(u, du, u0, dt, L, D, f1=(0.0, 0.0), f2=0.0):
         d/dt u = L div(D grad u + f1) + f2
     """
     src = (u - u0) / dt - f2
-    flux = (L * (D * du[0] + f1[0]), L * (D * du[1] + f1[1]))
+    flux = tuple(L * (D * d + f) for d, f in zip(du, f1))
     return src, flux
 
 
 def euler_bwd(u, u0, dt, f):
     """Plain backward-Euler block d/dt u = f (dolfin/pfbase.py:449-460)."""
-    return (u - u0) / dt - f, (0.0, 0.0)
+    return (u - u0) / dt - f, (0.0, 0.0)  # caller broadcasts flux dims
 
 
 def h(u):

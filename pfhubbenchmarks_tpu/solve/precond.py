@@ -24,25 +24,22 @@ from pfhubbenchmarks_tpu.fem.assembly import QPContext
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 
 
-def _pointwise_eval(terms, u, du_x, du_y, u0, dt, shape):
-    """Evaluate (source, flux_x, flux_y) stacked [3, F, ...] at given values."""
+def _pointwise_eval(terms, u, dus, u0, dt, shape, dim=2):
+    """Evaluate (source, flux_0..flux_{dim-1}) stacked [1+dim, F, ...]."""
     n = u.shape[0]
     zeros = jnp.zeros_like(u[0])
     ctx = QPContext(
         u=tuple(u[i] for i in range(n)),
-        du=tuple((du_x[i], du_y[i]) for i in range(n)),
+        du=tuple(tuple(dus[d][i] for d in range(dim)) for i in range(n)),
         u0=tuple(u0[i] for i in range(n)),
-        du0=tuple((zeros, zeros) for _ in range(n)),
+        du0=tuple(tuple(zeros for _ in range(dim)) for _ in range(n)),
         dt=dt,
     )
     s, f = terms(ctx)
     b = lambda z: jnp.broadcast_to(z, shape[1:])
     return jnp.stack(
-        [
-            jnp.stack([b(si) for si in s]),
-            jnp.stack([b(fi[0]) for fi in f]),
-            jnp.stack([b(fi[1]) for fi in f]),
-        ]
+        [jnp.stack([b(si) for si in s])]
+        + [jnp.stack([b(fi[d]) for fi in f]) for d in range(dim)]
     )
 
 
@@ -75,7 +72,7 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
         zer = jnp.zeros_like(u_nodal)
 
         def f(uu, dx, dy):
-            return _pointwise_eval(terms, uu, dx, dy, u0_nodal, dt, shape)
+            return _pointwise_eval(terms, uu, (dx, dy), u0_nodal, dt, shape, dim=2)
 
         cols = []
         for j in range(n_fields):
@@ -133,6 +130,70 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
             sv = jnp.einsum("yxij,jyx->iyx", Pv_inv, rv)
             sm = jnp.einsum("yxij,jyx->iyx", Pm_inv, rm)
             return sv, sm
+
+        return Minv
+
+    return build
+
+
+def make_block_jacobi3d(grid, terms, n_fields: int, dtype=jnp.float64):
+    """3D single-grid variant of the pointwise block-Jacobi preconditioner."""
+    d = grid.node_diagonals()
+    Z, Y, X = grid.vshape
+
+    def _pad(a):
+        p = np.ones((Z, Y, X))
+        p[: a.shape[0], : a.shape[1], : a.shape[2]] = a
+        return jnp.asarray(p, dtype)
+
+    mass_d = _pad(d["mass"])
+    stiff_d = [_pad(d[f"stiff_{ax}"]) for ax in range(3)]
+
+    def build(w, w0, dt):
+        (u_nodal,) = w
+        (u0_nodal,) = w0
+        shape = u_nodal.shape
+        zer = jnp.zeros_like(u_nodal)
+
+        def f(uu, dx, dy, dz):
+            return _pointwise_eval(terms, uu, (dx, dy, dz), u0_nodal, dt,
+                                   shape, dim=3)
+
+        cols = []
+        for j in range(n_fields):
+            e = jnp.zeros_like(u_nodal).at[j].set(1.0)
+            _, t_u = jax.jvp(lambda a: f(a, zer, zer, zer), (u_nodal,), (e,))
+            col = t_u[0] * mass_d
+            for ax in range(3):
+                args = [zer, zer, zer]
+
+                def fd(a, ax=ax):
+                    dd = [zer, zer, zer]
+                    dd[ax] = a
+                    return f(u_nodal, *dd)
+
+                _, t_d = jax.jvp(fd, (zer,), (e,))
+                col = col + t_d[1 + ax] * stiff_d[ax]
+            cols.append(col)
+        P = jnp.moveaxis(jnp.stack(cols, axis=-1), 0, -2)  # [Z, Y, X, F, F]
+
+        n = n_fields
+        aug = jnp.concatenate(
+            [P, jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), P.shape)], axis=-1)
+        for i in range(n):
+            piv = aug[..., i, :] / aug[..., i, i][..., None]
+            rows = []
+            for r in range(n):
+                if r == i:
+                    rows.append(piv)
+                else:
+                    rows.append(aug[..., r, :] - aug[..., r, i][..., None] * piv)
+            aug = jnp.stack(rows, axis=-2)
+        P_inv = aug[..., :, n:]
+
+        def Minv(r):
+            (rv,) = r
+            return (jnp.einsum("zyxij,jzyx->izyx", P_inv, rv),)
 
         return Minv
 

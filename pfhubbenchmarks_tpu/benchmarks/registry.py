@@ -43,6 +43,9 @@ def main(name: str, argv=None) -> None:
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="directory for checkpoint/resume")
     ap.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    ap.add_argument("--save-fields", type=int, default=0, metavar="N",
+                    help="write VTI field snapshots every N steps (+ PVD index)")
+    ap.add_argument("--fields-dir", type=str, default=None)
     args = ap.parse_args(argv)
 
     from pfhubbenchmarks_tpu.config import enable_x64
@@ -74,10 +77,24 @@ def main(name: str, argv=None) -> None:
         if args.resume:
             resume_kwargs = ckpt.restore_kwargs()
 
+    hooks = []
+    if ckpt:
+        hooks.append(ckpt.on_step)
+    if args.save_fields:
+        from pfhubbenchmarks_tpu.io.fields import FieldWriter
+
+        fw = FieldWriter(args.fields_dir or f"results/{problem.name}", problem,
+                         every=args.save_fields)
+        hooks.append(fw.on_step)
+
+    def on_step(stats, state):
+        for h in hooks:
+            h(stats, state)
+
     t0 = time.time()
     result = timeloop.run(problem, end_time=args.end_time, max_steps=args.max_steps,
                           verbose=not args.quiet,
-                          on_step=(ckpt.on_step if ckpt else None),
+                          on_step=(on_step if hooks else None),
                           **resume_kwargs)
     wall = time.time() - t0
     write_csv(args.out, result.rows, result.columns)

@@ -43,11 +43,12 @@ class SolverConfig:
     krylov: str = "fgmres"          # 'gmres' | 'fgmres' | 'bicgstab'
     krylov_rtol: float = 1e-5       # PETSc KSP default rtol
     krylov_atol: float = 1e-50
-    # With the V-cycle preconditioner, a solve that hasn't converged by ~100
-    # iterations never will (the reference's SOR needed its 1000/5000 caps,
-    # dolfin/bench1.py:110, bench6.py:135); a tight cap makes the
-    # fail->halve-dt path cheap.
-    krylov_max_iters: int = 120
+    # Sized so that marginal solves (the ones that decide whether a dt step
+    # is accepted) get the same chance as the reference's 1000-iteration SOR
+    # budget (dolfin/bench1.py:110) — a premature linear "failure" halves dt
+    # off the reference trajectory. With the V-cycle preconditioner 400 is
+    # beyond anything a convergent solve needs.
+    krylov_max_iters: int = 400
     gmres_restart: int = 30
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
     # geometric-multigrid settings (precond='gmg')

@@ -123,7 +123,17 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True):
             nn = tr.norm(Fn)
             k = s["k"] + 1
             converged = (nn < cfg.newton_atol) | (nn < cfg.newton_rtol * n0)
-            failed = (~jnp.isfinite(nn)) | (nn > cfg.newton_div_tol * n0) | (~sol.converged)
+            # Linear-solve nonconvergence alone is NOT a Newton failure:
+            # PETSc's left-preconditioned GMRES "converges" in the
+            # SOR-preconditioned norm on solves where a true-residual
+            # criterion stagnates, yet the inexact step still contracts
+            # ||F|| (observed: lin res 1e-3 relative, Newton converges in 6).
+            # A linear solve that made essentially NO progress (residual
+            # still >10% of ||b|| = ||F||) marks genuine Jacobian
+            # intractability at this dt -> fail fast, mirroring
+            # SNES DIVERGED_LINEAR_SOLVE on a truly stuck KSP.
+            lin_useless = (~sol.converged) & (sol.res_norm > 0.1 * s["normF"])
+            failed = (~jnp.isfinite(nn)) | (nn > cfg.newton_div_tol * n0) | lin_useless
             return dict(x=xn, F=Fn, normF=nn, k=k,
                         kiters=s["kiters"] + sol.iters,
                         converged=converged, failed=failed)

@@ -1,0 +1,76 @@
+"""VTI/PVD/CSV/checkpoint I/O tests."""
+
+import os
+import struct
+
+import numpy as np
+
+from pfhubbenchmarks_tpu.io.csvout import read_csv, write_csv
+from pfhubbenchmarks_tpu.io.vti import PVDSeries, _write_vti_python, write_vti
+
+
+def _read_appended(path):
+    a = open(path, "rb").read()
+    idx = a.index(b'encoding="raw">')
+    idx = a.index(b"_", idx) + 1
+    out = []
+    while a[idx:idx + 1] != b"\n":
+        n = struct.unpack("<Q", a[idx:idx + 8])[0]
+        out.append(np.frombuffer(a[idx + 8:idx + 8 + n]))
+        idx += 8 + n
+    return out
+
+
+def test_vti_native_matches_python_and_roundtrips(tmp_path):
+    rng = np.random.default_rng(0)
+    p = rng.standard_normal((4, 6))
+    c = rng.standard_normal((3, 5))
+    na = tmp_path / "a.vti"
+    py = tmp_path / "b.vti"
+    write_vti(str(na), 5, 3, 0, (0, 0, 0), (1.0, 2.0, 1.0), [("c", p)], [("cc", c)])
+    _write_vti_python(str(py), 5, 3, 0, (0, 0, 0), (1.0, 2.0, 1.0),
+                      [("c", np.ascontiguousarray(p))],
+                      [("cc", np.ascontiguousarray(c))])
+    blocks = _read_appended(str(na))
+    np.testing.assert_array_equal(blocks[0], p.ravel())
+    np.testing.assert_array_equal(blocks[1], c.ravel())
+    # if the native lib is built the two writers are byte-identical
+    from pfhubbenchmarks_tpu.io.vti import _load_native
+
+    if _load_native() is not None:
+        assert na.read_bytes() == py.read_bytes()
+
+
+def test_pvd_series(tmp_path):
+    s = PVDSeries(str(tmp_path / "x.pvd"))
+    s.add(0.1, "a.vti")
+    s.add(0.3, "b.vti")
+    txt = (tmp_path / "x.pvd").read_text()
+    assert txt.count("DataSet") == 2 and 'timestep="0.3"' in txt
+
+
+def test_csv_roundtrip_matches_reference_format(tmp_path):
+    rows = np.array([[0.1, 297.3021667041, 20504.4690550892]])
+    path = tmp_path / "out.csv"
+    write_csv(str(path), rows, ("time", "total_free_energy", "total_solute"))
+    text = path.read_text().splitlines()
+    assert text[0] == "time,total_free_energy,total_solute"
+    assert text[1] == "0.1000000000,297.3021667041,20504.4690550892"
+    data, header = read_csv(str(path))
+    np.testing.assert_allclose(data, rows)
+
+
+def test_field_writer_hook(tmp_path):
+    import jax.numpy as jnp
+
+    from pfhubbenchmarks_tpu.benchmarks import get_benchmark
+    from pfhubbenchmarks_tpu.io.fields import FieldWriter
+    from pfhubbenchmarks_tpu.timeloop import StepStats
+
+    pb = get_benchmark("bench1", nx=8, ny=8)
+    fw = FieldWriter(str(tmp_path), pb, every=1)
+    st = StepStats(step=1, t=0.1, dt=0.1, newton_iters=1, krylov_iters=1,
+                   retries=0, res_norm=0.0, wall=0.0)
+    fw.on_step(st, pb.initial_state())
+    assert (tmp_path / "bench1_000001.vti").exists()
+    assert (tmp_path / "bench1.pvd").exists()

@@ -46,6 +46,10 @@ def main(name: str, argv=None) -> None:
     ap.add_argument("--save-fields", type=int, default=0, metavar="N",
                     help="write VTI field snapshots every N steps (+ PVD index)")
     ap.add_argument("--fields-dir", type=str, default=None)
+    ap.add_argument("--stats-log", type=str, default=None,
+                    help="append per-step solver stats as JSONL")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="jax.profiler trace directory (TensorBoard)")
     args = ap.parse_args(argv)
 
     from pfhubbenchmarks_tpu.config import enable_x64
@@ -80,6 +84,10 @@ def main(name: str, argv=None) -> None:
     hooks = []
     if ckpt:
         hooks.append(ckpt.on_step)
+    if args.stats_log:
+        from pfhubbenchmarks_tpu.utils.observability import StatsLogger
+
+        hooks.append(StatsLogger(args.stats_log).on_step)
     if args.save_fields:
         from pfhubbenchmarks_tpu.io.fields import FieldWriter
 
@@ -91,11 +99,15 @@ def main(name: str, argv=None) -> None:
         for h in hooks:
             h(stats, state)
 
+    from pfhubbenchmarks_tpu.utils.observability import profile
+
     t0 = time.time()
-    result = timeloop.run(problem, end_time=args.end_time, max_steps=args.max_steps,
-                          verbose=not args.quiet,
-                          on_step=(on_step if hooks else None),
-                          **resume_kwargs)
+    with profile(args.trace):
+        result = timeloop.run(problem, end_time=args.end_time,
+                              max_steps=args.max_steps,
+                              verbose=not args.quiet,
+                              on_step=(on_step if hooks else None),
+                              **resume_kwargs)
     wall = time.time() - t0
     write_csv(args.out, result.rows, result.columns)
     n = len(result.stats)

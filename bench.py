@@ -27,23 +27,25 @@ REF_CSV = "/root/reference/results/bench1_out.csv"
 
 
 def main() -> None:
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-    import numpy as np
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pfhubbenchmarks_tpu.config import enable_x64, setup_compile_cache
+
+    setup_compile_cache()
+    enable_x64()
+    import numpy as np
 
     from pfhubbenchmarks_tpu import timeloop
     from pfhubbenchmarks_tpu.benchmarks.bench1 import make
 
     problem = make()
-    # warm up compilation outside the timed region (compile time is a
-    # one-off artifact of the toolchain, not the solver)
-    warm = timeloop.run(problem, max_steps=1, verbose=False)
+    runner = timeloop.Runner(problem)
+    # warm up tracing+compilation outside the timed region (one-off toolchain
+    # cost, amortized by the persistent compilation cache across processes)
+    runner.run(max_steps=1, verbose=False)
 
     t0 = time.time()
-    result = timeloop.run(problem, verbose=False)
+    result = runner.run(verbose=False)
     wall = time.time() - t0
 
     rows = result.rows

@@ -52,8 +52,9 @@ def main(name: str, argv=None) -> None:
                     help="jax.profiler trace directory (TensorBoard)")
     args = ap.parse_args(argv)
 
-    from pfhubbenchmarks_tpu.config import enable_x64
+    from pfhubbenchmarks_tpu.config import enable_x64, setup_compile_cache
 
+    setup_compile_cache()
     if not args.f32:
         enable_x64()
 

@@ -52,13 +52,15 @@ def _make_line_search(kind: str, res_fn):
 
     if kind == "cp":
         def ls(x, d, F, normF):
+            # PETSc SNESLineSearchCP, max_its=1 (the default): one secant
+            # update for the root of g(l) = <F(x + l d), d> starting from
+            # (l, g) pairs (0, g0) and (1, g1). No clamping beyond sanity —
+            # PETSc takes the raw secant step.
             g0 = tr.vdot(F, d)
             F1 = res_fn(tr.add(x, d))
             g1 = tr.vdot(F1, d)
             denom = g1 - g0
-            lam = jnp.where(jnp.abs(denom) > 1e-30, -g0 / jnp.where(denom != 0, denom, 1.0), 1.0)
-            # PETSc guards the step into (0, maxstep]; clamp sanely
-            lam = jnp.clip(lam, 0.1, 2.0)
+            lam = jnp.where(denom != 0, -g0 / jnp.where(denom != 0, denom, 1.0), 1.0)
             return jnp.where(jnp.isfinite(lam), lam, jnp.asarray(1.0, normF.dtype))
         return ls
 
@@ -122,7 +124,12 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True):
             Fn = res_fn(xn)
             nn = tr.norm(Fn)
             k = s["k"] + 1
-            converged = (nn < cfg.newton_atol) | (nn < cfg.newton_rtol * n0)
+            # SNESConvergedDefault: atol, rtol vs ||F0||, and the step-size
+            # test snorm <= stol * xnorm (stol default 1e-8)
+            snorm = jnp.abs(lam) * tr.norm(sol.x)
+            xnorm = tr.norm(xn)
+            converged = ((nn < cfg.newton_atol) | (nn < cfg.newton_rtol * n0)
+                         | (snorm <= cfg.newton_stol * xnorm))
             # Linear-solve nonconvergence alone is NOT a Newton failure:
             # PETSc's left-preconditioned GMRES "converges" in the
             # SOR-preconditioned norm on solves where a true-residual

@@ -54,17 +54,33 @@ class RunResult:
     columns: tuple[str, ...]
 
 
+class Runner:
+    """Holds the jitted solver/observables for a problem so repeated runs
+    (warm-up + timed, or resumed segments) re-use traces and compiled code."""
+
+    def __init__(self, problem: BenchmarkProblem):
+        self.problem = problem
+        residual = problem.residual()
+        self.newton = make_newton_solver(residual, problem.solver,
+                                         problem.precond_builder())
+        self.obs_fns = {k: jax.jit(f) for k, f in problem.observable_fns().items()}
+
+    def run(self, **kwargs) -> "RunResult":
+        return run(self.problem, _runner=self, **kwargs)
+
+
 def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         max_steps: int | None = None, verbose: bool = True,
         max_retries_at_dt_min: int = 60,
         state0=None, t0: float | None = None, dt0: float | None = None,
-        on_step: Callable[[StepStats, tuple], None] | None = None) -> RunResult:
+        on_step: Callable[[StepStats, tuple], None] | None = None,
+        _runner: "Runner | None" = None) -> RunResult:
     """Run a benchmark to final time; returns the CSV rows + per-step stats."""
     tc = problem.time
     end_time = tc.end_time if end_time is None else end_time
-    residual = problem.residual()
-    newton = make_newton_solver(residual, problem.solver, problem.precond_builder())
-    obs_fns = {k: jax.jit(f) for k, f in problem.observable_fns().items()}
+    runner = _runner or Runner(problem)
+    newton = runner.newton
+    obs_fns = runner.obs_fns
 
     w = problem.initial_state() if state0 is None else state0
     t = tc.t0 if t0 is None else t0

@@ -66,14 +66,24 @@ class BenchmarkProblem:
             v = bc.apply_value(v)
         return v, m
 
-    def residual(self):
+    def residual(self, dtype=None):
         return make_residual(
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,
-            needs_coords=self.needs_coords, dtype=self.dtype,
+            needs_coords=self.needs_coords, dtype=dtype or self.dtype,
         )
+
+    @property
+    def mixed_precision(self) -> bool:
+        return self.solver.mixed_precision and self.dtype == jnp.float64
+
+    def residual_lowp(self):
+        """f32 residual build for the mixed-precision Krylov path."""
+        return self.residual(dtype=jnp.float32) if self.mixed_precision else None
 
     def precond_builder(self):
         kind = self.solver.precond
+        # the preconditioner's output must match the Krylov vector dtype
+        kry_dtype = jnp.float32 if self.mixed_precision else self.dtype
         if kind == "none":
             return BUILDERS["none"]()
         if kind == "gmg":
@@ -82,14 +92,14 @@ class BenchmarkProblem:
             s = self.solver
             return make_gmg(
                 self.grid, self.terms, self.n_fields,
-                dirichlet_for=self.dirichlet_for, dtype=self.dtype,
+                dirichlet_for=self.dirichlet_for, dtype=kry_dtype,
                 needs_coords=self.needs_coords, nu_pre=s.gmg_nu_pre,
                 nu_post=s.gmg_nu_post, omega=s.gmg_omega,
                 coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
             )
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,
-            dtype=self.dtype, needs_coords=self.needs_coords,
+            dtype=kry_dtype, needs_coords=self.needs_coords,
         )
 
     def observable_fns(self):

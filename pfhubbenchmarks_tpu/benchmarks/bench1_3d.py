@@ -47,13 +47,21 @@ class Benchmark3DProblem:
         (v,) = self.grid.interpolate(self.ic_fns)
         return (jnp.asarray(v, self.dtype),)
 
-    def residual(self):
+    def residual(self, dtype=None):
         return make_residual3d(self.grid, self.terms, self.n_fields,
-                               dtype=self.dtype)
+                               dtype=dtype or self.dtype)
+
+    @property
+    def mixed_precision(self) -> bool:
+        return self.solver.mixed_precision and self.dtype == jnp.float64
+
+    def residual_lowp(self):
+        return self.residual(dtype=jnp.float32) if self.mixed_precision else None
 
     def precond_builder(self):
+        kry_dtype = jnp.float32 if self.mixed_precision else self.dtype
         return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
-                                   dtype=self.dtype)
+                                   dtype=kry_dtype)
 
     def observable_fns(self):
         return {name: make_functional3d(self.grid, density, dtype=self.dtype)

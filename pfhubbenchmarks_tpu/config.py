@@ -68,6 +68,10 @@ class SolverConfig:
     # beyond anything a convergent solve needs.
     krylov_max_iters: int = 400
     gmres_restart: int = 30
+    # Run the Krylov solve (J.v, basis ops, preconditioner) in float32 while
+    # Newton-level residuals/norms stay in the solver dtype. See
+    # solve/newton.py. No effect when the solver dtype is already float32.
+    mixed_precision: bool = True
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2

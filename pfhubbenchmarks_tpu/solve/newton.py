@@ -85,11 +85,19 @@ def _make_line_search(kind: str, res_fn):
     raise ValueError(f"unknown line search {kind!r}")
 
 
-def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True):
+def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
+                       residual_lowp=None):
     """Build ``solve(w_guess, w_prev, dt) -> NewtonResult``.
 
     ``residual(w, w_prev, dt)`` is the assembled weak-form residual;
     ``precond_build(w, w_prev, dt) -> Minv`` a preconditioner factory.
+
+    Mixed precision: when ``residual_lowp`` (an f32 build of the same weak
+    form) is provided, the entire Krylov solve — J.v products, basis
+    operations, preconditioner — runs in float32 while Newton-level residuals
+    / norms / convergence tests stay float64. Inexact Newton at KSP rtol 1e-5
+    is insensitive to f32's ~1e-6-relative J.v accuracy, and f64 on TPU is
+    emulated (~2x slower per op and a far bigger compiled program).
     """
     krylov = SOLVERS[cfg.krylov]
     krylov_kwargs = dict(rtol=cfg.krylov_rtol, atol=cfg.krylov_atol,
@@ -97,11 +105,20 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True):
     if cfg.krylov == "bicgstab":
         krylov_kwargs.pop("restart")
 
+    import jax.tree_util as jtu
+
+    def _cast(t, dt_):
+        return jtu.tree_map(lambda a: a.astype(dt_), t)
+
     def solve(w_guess, w_prev, dt):
         res_fn = lambda w: residual(w, w_prev, dt)
         F0 = res_fn(w_guess)
         n0 = tr.norm(F0)
         line_search = _make_line_search(cfg.line_search, res_fn)
+        if residual_lowp is not None:
+            lowp = jnp.float32
+            w_prev_lp = _cast(w_prev, lowp)
+            dt_lp = jnp.asarray(dt, lowp)
 
         state0 = dict(
             x=w_guess, F=F0, normF=n0,
@@ -116,9 +133,24 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True):
 
         def body(s):
             x, F = s["x"], s["F"]
-            _, jvp_fn = jax.linearize(res_fn, x)
             Minv = precond_build(x, w_prev, dt)
-            sol = krylov(jvp_fn, tr.neg(F), Minv=Minv, **krylov_kwargs)
+            if residual_lowp is not None:
+                x_lp = _cast(x, lowp)
+                _, jvp_fn = jax.linearize(
+                    lambda u: residual_lowp(u, w_prev_lp, dt_lp), x_lp)
+                sol = krylov(jvp_fn, _cast(tr.neg(F), lowp), Minv=Minv,
+                             **krylov_kwargs)
+                d = _cast(sol.x, s["normF"].dtype)
+                res_norm64 = sol.res_norm.astype(s["normF"].dtype)
+            else:
+                _, jvp_fn = jax.linearize(res_fn, x)
+                # preconditioners may work internally in f32; keep the Krylov
+                # vectors in the solver dtype
+                Mc = (lambda M: lambda r: _cast(M(r), s["normF"].dtype))(Minv)
+                sol = krylov(jvp_fn, tr.neg(F), Minv=Mc, **krylov_kwargs)
+                d = sol.x
+                res_norm64 = sol.res_norm
+            sol = sol._replace(x=d, res_norm=res_norm64)
             lam = line_search(x, sol.x, F, s["normF"])
             xn = tr.axpy(lam, sol.x, x)
             Fn = res_fn(xn)

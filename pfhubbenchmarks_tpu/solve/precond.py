@@ -111,8 +111,10 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
         return aug[..., :, n:]
 
     def build(w, w0, dt):
-        v, m = w
-        v0, m0 = w0
+        # operate in the preconditioner dtype regardless of state dtype
+        v, m = (a.astype(dtype) for a in w)
+        v0, m0 = (a.astype(dtype) for a in w0)
+        dt = jnp.asarray(dt, dtype)
         Pv = blocks_for(v, v0, dt, mass_v, sxx_v, syy_v)
         Pm = blocks_for(m, m0, dt, mass_m, sxx_m, syy_m)
         # Dirichlet rows are identity (residual row is u - g)
@@ -152,6 +154,9 @@ def make_block_jacobi3d(grid, terms, n_fields: int, dtype=jnp.float64):
     def build(w, w0, dt):
         (u_nodal,) = w
         (u0_nodal,) = w0
+        u_nodal = u_nodal.astype(dtype)
+        u0_nodal = u0_nodal.astype(dtype)
+        dt = jnp.asarray(dt, dtype)
         shape = u_nodal.shape
         zer = jnp.zeros_like(u_nodal)
 

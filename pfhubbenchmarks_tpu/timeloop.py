@@ -61,8 +61,10 @@ class Runner:
     def __init__(self, problem: BenchmarkProblem):
         self.problem = problem
         residual = problem.residual()
+        lowp = getattr(problem, "residual_lowp", lambda: None)()
         self.newton = make_newton_solver(residual, problem.solver,
-                                         problem.precond_builder())
+                                         problem.precond_builder(),
+                                         residual_lowp=lowp)
         self.obs_fns = {k: jax.jit(f) for k, f in problem.observable_fns().items()}
 
     def run(self, **kwargs) -> "RunResult":

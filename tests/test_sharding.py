@@ -47,7 +47,8 @@ def test_residual_sharded_matches_single(mesh):
 def test_newton_step_sharded_matches_single(mesh):
     problem = _problem(mesh)
     newton = make_newton_solver(problem.residual(), problem.solver,
-                                problem.precond_builder(), jit=False)
+                                problem.precond_builder(), jit=False,
+                                residual_lowp=problem.residual_lowp())
     w = problem.initial_state()
     single = jax.jit(newton)(w, w, 0.1)
 

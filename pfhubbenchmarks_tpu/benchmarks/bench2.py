@@ -70,7 +70,10 @@ def ic_eta(p: Bench2Params, i: int):
 
 
 def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
-         params: Bench2Params = Bench2Params(), pad_to: tuple = (1, 1), **overrides) -> BenchmarkProblem:
+         params: Bench2Params = Bench2Params(), pad_to: tuple = (1, 1),
+         num_eta: int = NUM_ETA, **overrides) -> BenchmarkProblem:
+    """num_eta < 4 gives the reference's reduced debugging variants
+    (dolfin/bench2_eta1.py / bench2_eta2.py) used to isolate instability."""
     p = params
     rho2 = p.rho ** 2
 
@@ -83,8 +86,8 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         H = hsum(etas)
         dw = sum(e**2 * (1.0 - e) ** 2 for e in etas)
         pair = 0.0
-        for i in range(NUM_ETA):
-            for j in range(i + 1, NUM_ETA):
+        for i in range(num_eta):
+            for j in range(i + 1, num_eta):
                 pair = pair + etas[i] ** 2 * etas[j] ** 2
         return f_a * (1.0 - H) + f_b * H + p.w * (dw + p.alpha * pair)
 
@@ -96,7 +99,7 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         f_a = rho2 * (c - p.c_alpha) ** 2
         f_b = rho2 * (c - p.c_beta) ** 2
         e = etas[i]
-        others_sq = sum(etas[j] ** 2 for j in range(NUM_ETA) if j != i)
+        others_sq = sum(etas[j] ** 2 for j in range(num_eta) if j != i)
         dwell = 2.0 * e * (1.0 - e) * (1.0 - 2.0 * e)
         return (f_b - f_a) * forms.dh(e) + p.w * (dwell + 2.0 * p.alpha * e * others_sq)
 
@@ -108,7 +111,7 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
             dfdc(c, etas))
         src = [sc, smu]
         flux = [fc, fmu]
-        for i in range(NUM_ETA):
+        for i in range(num_eta):
             s_i, f_i = forms.allen_cahn(
                 etas[i], ctx.du[2 + i], ctx.u0[2 + i], ctx.dt, p.L, p.kappa_eta,
                 dfdeta(c, etas, i))
@@ -121,17 +124,17 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         etas = ctx.u[2:]
         dc = ctx.du[0]
         e = f_chem(c, etas) + p.kappa_c / 2.0 * (dc[0] ** 2 + dc[1] ** 2)
-        for i in range(NUM_ETA):
+        for i in range(num_eta):
             de = ctx.du[2 + i]
             e = e + p.kappa_eta / 2.0 * (de[0] ** 2 + de[1] ** 2)
         return e
 
     return BenchmarkProblem(
-        name="bench2",
+        name="bench2" if num_eta == NUM_ETA else f"bench2_eta{num_eta}",
         grid=CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to),
-        field_names=("c", "mu", "eta1", "eta2", "eta3", "eta4"),
+        field_names=("c", "mu") + tuple(f"eta{i+1}" for i in range(num_eta)),
         terms=terms,
-        ic_fns=[ic_c(p), lambda x, y: 0.0] + [ic_eta(p, i) for i in range(NUM_ETA)],
+        ic_fns=[ic_c(p), lambda x, y: 0.0] + [ic_eta(p, i) for i in range(num_eta)],
         observables={
             "total_free_energy": tfe_density,
             "total_solute": lambda ctx: ctx.u[0],

@@ -25,6 +25,10 @@ _BENCHMARKS = {
 
 
 def get_benchmark(name: str, **kwargs):
+    # reduced BM2 variants (dolfin/bench2_eta1.py / bench2_eta2.py)
+    if name in ("bench2_eta1", "bench2_eta2"):
+        kwargs.setdefault("num_eta", int(name[-1]))
+        name = "bench2"
     if name not in _BENCHMARKS:
         raise ValueError(f"unknown benchmark {name!r}; have {sorted(_BENCHMARKS)}")
     mod = importlib.import_module(_BENCHMARKS[name])

@@ -24,8 +24,13 @@ from pfhubbenchmarks_tpu.fem.assembly import QPContext
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 
 
-def _pointwise_eval(terms, u, dus, u0, dt, shape, dim=2):
-    """Evaluate (source, flux_0..flux_{dim-1}) stacked [1+dim, F, ...]."""
+def _pointwise_eval(terms, u, dus, u0, dt, shape, dim=2, needs_coords=False):
+    """Evaluate (source, flux_0..flux_{dim-1}) stacked [1+dim, F, ...].
+
+    Coordinates are passed as 0.0 when the model wants them: forcing terms
+    f(x) don't contribute to the Jacobian diagonal, so their value is
+    immaterial for preconditioning.
+    """
     n = u.shape[0]
     zeros = jnp.zeros_like(u[0])
     ctx = QPContext(
@@ -34,6 +39,8 @@ def _pointwise_eval(terms, u, dus, u0, dt, shape, dim=2):
         u0=tuple(u0[i] for i in range(n)),
         du0=tuple(tuple(zeros for _ in range(dim)) for _ in range(n)),
         dt=dt,
+        x=0.0 if needs_coords else None,
+        y=0.0 if needs_coords else None,
     )
     s, f = terms(ctx)
     b = lambda z: jnp.broadcast_to(z, shape[1:])
@@ -72,7 +79,8 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
         zer = jnp.zeros_like(u_nodal)
 
         def f(uu, dx, dy):
-            return _pointwise_eval(terms, uu, (dx, dy), u0_nodal, dt, shape, dim=2)
+            return _pointwise_eval(terms, uu, (dx, dy), u0_nodal, dt, shape,
+                                   dim=2, needs_coords=needs_coords)
 
         cols = []
         for j in range(n_fields):

@@ -80,6 +80,44 @@ class BenchmarkProblem:
         """f32 residual build for the mixed-precision Krylov path."""
         return self.residual(dtype=jnp.float32) if self.mixed_precision else None
 
+    def _pallas_enabled(self) -> bool:
+        if self.solver.use_pallas == "off" or self.needs_coords:
+            return False
+        import jax
+
+        from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
+
+        if not fits_vmem(self.grid, self.n_fields):
+            return False
+        if self.solver.use_pallas == "on":
+            return True
+        return "TPU" in jax.devices()[0].device_kind
+
+    def lowp_jvp_factory(self):
+        """Fused Pallas J.v for the Krylov matvec (TPU), else None."""
+        if not self.mixed_precision or not self._pallas_enabled():
+            return None
+        from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
+
+        pjv = make_pallas_jvp(self.grid, self.terms, self.n_fields,
+                              dtype=jnp.float32)
+        bcs = self.dirichlet
+
+        def factory(x_lp, wprev_lp, dt_lp):
+            def jvp(v):
+                rv, rm = pjv(x_lp, wprev_lp, dt_lp, v)
+                for bc in bcs:
+                    f, i = bc.field, bc.index
+                    if bc.side in ("left", "right"):
+                        rv = rv.at[f, :, i].set(v[0][f, :, i])
+                    else:
+                        rv = rv.at[f, i, :].set(v[0][f, i, :])
+                return rv, rm
+
+            return jvp
+
+        return factory
+
     def precond_builder(self):
         kind = self.solver.precond
         # the preconditioner's output must match the Krylov vector dtype
@@ -96,6 +134,7 @@ class BenchmarkProblem:
                 needs_coords=self.needs_coords, nu_pre=s.gmg_nu_pre,
                 nu_post=s.gmg_nu_post, omega=s.gmg_omega,
                 coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
+                use_pallas=self._pallas_enabled(),
             )
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,

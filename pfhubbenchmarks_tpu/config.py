@@ -28,6 +28,11 @@ def setup_compile_cache(directory: str | None = None) -> None:
                                  "..", ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(directory))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # TPU einsums/dots default to bf16 MXU passes in f32 — catastrophic for
+    # J.v accuracy in the mixed-precision Krylov path (observed: marginal
+    # Newton solves flip to failure and the adaptive-dt trajectory collapses).
+    # The assembly einsums contract tiny static dims, so HIGHEST is ~free.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def enable_x64() -> None:
@@ -72,6 +77,9 @@ class SolverConfig:
     # Newton-level residuals/norms stay in the solver dtype. See
     # solve/newton.py. No effect when the solver dtype is already float32.
     mixed_precision: bool = True
+    # Fused Pallas kernels for J.v products: 'auto' enables them on TPU
+    # backends when the grids fit VMEM (ops/pallas_residual.py).
+    use_pallas: str = "auto"        # 'auto' | 'on' | 'off'
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2

@@ -1,0 +1,192 @@
+"""Pallas TPU kernels for the assembly hot path.
+
+The XLA einsum assembly (fem/assembly.py) lowers to ~15-20 separate TPU
+kernels per residual / J.v evaluation; inside the Krylov loop that op-count
+overhead dominates for PFHub-sized grids (the whole state is ~100 KB — far
+below VMEM). These kernels fuse one entire evaluation into a single
+``pallas_call`` with every operand resident in VMEM: one kernel launch per
+J.v instead of ~20.
+
+Mosaic cannot lower multi-axis einsum contractions, so the tiny element
+contractions (4 triangles x nq points x 3 nonzero basis entries) are
+unrolled into scalar-coefficient fused multiply-adds over ``[F, ny, nx]``
+planes — the tabulation scalars bake into the kernel as immediates, which is
+exactly the shape of code the VPU wants. The pointwise ``terms`` physics is
+traced *inside* the kernel, and J.v comes from tracing ``jax.jvp`` of the
+assembly in-kernel — no hand-derived linearization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pfhubbenchmarks_tpu.fem.assembly import QPContext
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+
+_ZERO_TOL = 1e-300
+
+
+def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
+    """Residual with all element contractions unrolled to scalar FMAs."""
+    tab = grid.tab()
+    Bq = np.asarray(tab.Bq)          # [4, nq, 5]
+    Gs = np.asarray(tab.Gs)          # [4, 5, 2]
+    WB = tab.wq[:, :, None] * tab.Bq             # [4, nq, 5]
+    WG = [tab.wq[:, :, None] * tab.Gs[:, None, :, d] for d in range(2)]
+    nq = tab.nq
+    ny, nx = grid.ny, grid.nx
+    vshape, mshape = grid.vshape, grid.mshape
+
+    def local(w):
+        v, m = w
+        return [v[:, :ny, :nx], v[:, :ny, 1:nx + 1], v[:, 1:ny + 1, 1:nx + 1],
+                v[:, 1:ny + 1, :nx], m[:, :ny, :nx]]
+
+    def qp_fields(locs):
+        """-> u (tuple_F of [4, nq, ny, nx]), du (tuple_F of ([4,1,ny,nx],)*2)."""
+        u_t, du_t = [], []
+        for f in range(n_fields):
+            planes = [locs[s][f] for s in range(5)]
+            uq_rows = []
+            for t in range(4):
+                row = []
+                for q in range(nq):
+                    acc = None
+                    for s in range(5):
+                        c = float(Bq[t, q, s])
+                        if abs(c) < _ZERO_TOL:
+                            continue
+                        acc = c * planes[s] if acc is None else acc + c * planes[s]
+                    row.append(acc)
+                uq_rows.append(jnp.stack(row))
+            u_t.append(jnp.stack(uq_rows))           # [4, nq, ny, nx]
+            dd = []
+            for d in range(2):
+                rows = []
+                for t in range(4):
+                    acc = None
+                    for s in range(5):
+                        c = float(Gs[t, s, d])
+                        if abs(c) < _ZERO_TOL:
+                            continue
+                        acc = c * planes[s] if acc is None else acc + c * planes[s]
+                    rows.append(acc)
+                dd.append(jnp.stack(rows)[:, None])  # [4, 1, ny, nx]
+            du_t.append((dd[0], dd[1]))
+        return tuple(u_t), tuple(du_t)
+
+    full_shape = (4, nq, ny, nx)
+
+    def residual(w, w0, dt):
+        u_t, du_t = qp_fields(local(w))
+        u0_t, du0_t = qp_fields(local(w0))
+        ctx = QPContext(u=u_t, du=du_t, u0=u0_t, du0=du0_t, dt=dt)
+        source, flux = terms(ctx)
+        src = [jnp.broadcast_to(s, full_shape) for s in source]
+        fx = [jnp.broadcast_to(f[0], full_shape) for f in flux]
+        fy = [jnp.broadcast_to(f[1], full_shape) for f in flux]
+        # r_loc[s][f] = sum_tq WB[t,q,s] src + WGx[t,q,s] fx + WGy[t,q,s] fy
+        r_loc = []
+        for s in range(5):
+            per_field = []
+            for f in range(n_fields):
+                acc = None
+                for t in range(4):
+                    for q in range(nq):
+                        for coeff, tensor in ((WB[t, q, s], src[f]),
+                                              (WG[0][t, q, s], fx[f]),
+                                              (WG[1][t, q, s], fy[f])):
+                            c = float(coeff)
+                            if abs(c) < _ZERO_TOL:
+                                continue
+                            term = c * tensor[t, q]
+                            acc = term if acc is None else acc + term
+                per_field.append(acc)
+            r_loc.append(jnp.stack(per_field))       # [F, ny, nx]
+        ey, ex = vshape[0] - (ny + 1), vshape[1] - (nx + 1)
+        rv = (jnp.pad(r_loc[0], ((0, 0), (0, 1 + ey), (0, 1 + ex)))
+              + jnp.pad(r_loc[1], ((0, 0), (0, 1 + ey), (1, ex)))
+              + jnp.pad(r_loc[2], ((0, 0), (1, ey), (1, ex)))
+              + jnp.pad(r_loc[3], ((0, 0), (1, ey), (0, 1 + ex))))
+        rm = jnp.pad(r_loc[4], ((0, 0), (0, mshape[0] - ny), (0, mshape[1] - nx)))
+        return rv, rm
+
+    return residual
+
+
+def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
+              dtype_bytes: int = 4, budget: int = 64 * 2**20) -> bool:
+    """Feasibility guard for whole-array kernels (Mosaic spills if needed)."""
+    inter = 4 * nq * n_fields * grid.ny * grid.nx * dtype_bytes
+    return 8 * inter < budget
+
+
+def _pallas_call(grid, n_fields, dtype, kernel, n_vmem_inputs, interpret):
+    F = n_fields
+    Yv, Xv = grid.vshape
+    Ym, Xm = grid.mshape
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+            jax.ShapeDtypeStruct((F, Ym, Xm), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_inputs
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )
+
+
+def make_pallas_jvp(grid: CrossedTriGrid, terms, n_fields: int,
+                    dtype=jnp.float32):
+    """Fused J.v at linearization point (w, w0, dt): one pallas_call.
+
+    Returns ``jv(w, w0, dt, v) -> (Jv_v, Jv_m)``. Dirichlet rows are the
+    caller's concern (cheap row writes).
+    """
+    residual = _scalar_assembly(grid, terms, n_fields)
+
+    def kernel(w_v, w_m, w0_v, w0_m, v_v, v_m, dt_ref, out_v, out_m):
+        dt = dt_ref[0, 0]
+        w = (w_v[:], w_m[:])
+        w0 = (w0_v[:], w0_m[:])
+        v = (v_v[:], v_m[:])
+        _, jv = jax.jvp(lambda u: residual(u, w0, dt), (w,), (v,))
+        out_v[:] = jv[0]
+        out_m[:] = jv[1]
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def jv_fn(w, w0, dt, v, interpret=False):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        return _pallas_call(grid, n_fields, dtype, kernel, 6, interpret)(
+            w[0], w[1], w0[0], w0[1], v[0], v[1], dt_arr)
+
+    return jv_fn
+
+
+def make_pallas_residual(grid: CrossedTriGrid, terms, n_fields: int,
+                         dtype=jnp.float32):
+    """Fused residual evaluation as a single pallas_call."""
+    residual = _scalar_assembly(grid, terms, n_fields)
+
+    def kernel(w_v, w_m, w0_v, w0_m, dt_ref, out_v, out_m):
+        dt = dt_ref[0, 0]
+        r = residual((w_v[:], w_m[:]), (w0_v[:], w0_m[:]), dt)
+        out_v[:] = r[0]
+        out_m[:] = r[1]
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def res_fn(w, w0, dt, interpret=False):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        return _pallas_call(grid, n_fields, dtype, kernel, 4, interpret)(
+            w[0], w[1], w0[0], w0[1], dt_arr)
+
+    return res_fn

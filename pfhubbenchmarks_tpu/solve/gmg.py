@@ -58,22 +58,41 @@ def _cast(w, dtype):
 def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              dtype=None, needs_coords: bool = False, *, nu_pre: int = 2,
              nu_post: int = 2, omega: float = 0.8, coarse_sweeps: int = 24,
-             max_levels: int = 10, precond_dtype=jnp.float32):
-    """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle."""
+             max_levels: int = 10, precond_dtype=jnp.float32,
+             use_pallas: bool = False):
+    """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
+
+    ``use_pallas=True`` replaces each level's J.v with the fused Pallas
+    kernel (ops/pallas_residual.py) — ~1.7x faster per product on TPU by
+    collapsing ~20 XLA kernels into one. Dirichlet rows are reapplied after
+    the kernel (the tangent of a BC row ``u - g`` is just ``du``).
+    """
     del omega  # step lengths are computed, not damped
     dtype = dtype or jnp.float64
     dirichlet_for = dirichlet_for or (lambda g: ())
     grids = build_hierarchy(grid, max_levels=max_levels)
     residuals = []
     bj_builders = []
+    pallas_jvs = []
+    level_bcs = []
     for g in grids:
         bcs = dirichlet_for(g)
+        level_bcs.append(bcs)
         residuals.append(make_residual(g, terms, n_fields, dirichlet=bcs,
                                        needs_coords=needs_coords,
                                        dtype=precond_dtype))
         bj_builders.append(make_block_jacobi(g, terms, n_fields, dirichlet=bcs,
                                              dtype=precond_dtype,
                                              needs_coords=needs_coords))
+        if use_pallas and not needs_coords:
+            from pfhubbenchmarks_tpu.ops.pallas_residual import (
+                fits_vmem, make_pallas_jvp)
+
+            pallas_jvs.append(
+                make_pallas_jvp(g, terms, n_fields, dtype=precond_dtype)
+                if fits_vmem(g, n_fields) else None)
+        else:
+            pallas_jvs.append(None)
     Ps = [prolong(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     Rs = [restrict(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     injs = [inject_state(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
@@ -84,8 +103,23 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         w0l = _cast(w0, precond_dtype)
         dtl = jnp.asarray(dt, precond_dtype)
         for l in range(len(grids)):
-            res_l = residuals[l]
-            _, jvp = jax.linearize(lambda u: res_l(u, w0l, dtl), wl)
+            if pallas_jvs[l] is not None:
+                pjv = pallas_jvs[l]
+                bcs = level_bcs[l]
+                wl_c, w0l_c, dtl_c = wl, w0l, dtl
+
+                def jvp(v, pjv=pjv, bcs=bcs, wl=wl_c, w0l=w0l_c, dtl=dtl_c):
+                    rv, rm = pjv(wl, w0l, dtl, v)
+                    for bc in bcs:
+                        f, i = bc.field, bc.index
+                        if bc.side in ("left", "right"):
+                            rv = rv.at[f, :, i].set(v[0][f, :, i])
+                        else:
+                            rv = rv.at[f, i, :].set(v[0][f, i, :])
+                    return rv, rm
+            else:
+                res_l = residuals[l]
+                _, jvp = jax.linearize(lambda u: res_l(u, w0l, dtl), wl)
             bj = bj_builders[l](wl, w0l, dtl)
             ops.append((jvp, bj))
             if l + 1 < len(grids):

@@ -86,7 +86,7 @@ def _make_line_search(kind: str, res_fn):
 
 
 def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
-                       residual_lowp=None):
+                       residual_lowp=None, lowp_jvp_factory=None):
     """Build ``solve(w_guess, w_prev, dt) -> NewtonResult``.
 
     ``residual(w, w_prev, dt)`` is the assembled weak-form residual;
@@ -136,8 +136,11 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             Minv = precond_build(x, w_prev, dt)
             if residual_lowp is not None:
                 x_lp = _cast(x, lowp)
-                _, jvp_fn = jax.linearize(
-                    lambda u: residual_lowp(u, w_prev_lp, dt_lp), x_lp)
+                if lowp_jvp_factory is not None:
+                    jvp_fn = lowp_jvp_factory(x_lp, w_prev_lp, dt_lp)
+                else:
+                    _, jvp_fn = jax.linearize(
+                        lambda u: residual_lowp(u, w_prev_lp, dt_lp), x_lp)
                 sol = krylov(jvp_fn, _cast(tr.neg(F), lowp), Minv=Minv,
                              **krylov_kwargs)
                 d = _cast(sol.x, s["normF"].dtype)

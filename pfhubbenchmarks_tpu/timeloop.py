@@ -62,9 +62,11 @@ class Runner:
         self.problem = problem
         residual = problem.residual()
         lowp = getattr(problem, "residual_lowp", lambda: None)()
+        jvf = getattr(problem, "lowp_jvp_factory", lambda: None)()
         self.newton = make_newton_solver(residual, problem.solver,
                                          problem.precond_builder(),
-                                         residual_lowp=lowp)
+                                         residual_lowp=lowp,
+                                         lowp_jvp_factory=jvf)
         self.obs_fns = {k: jax.jit(f) for k, f in problem.observable_fns().items()}
 
     def run(self, **kwargs) -> "RunResult":

@@ -171,7 +171,8 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
 
     V0, Z0, H0, cs0, sn0, g0, k0, beta0 = init_cycle(x0)
     state0 = dict(x=x0, V=V0, Z=Z0, H=H0, cs=cs0, sn=sn0, g=g0, k=k0,
-                  it=jnp.array(0, jnp.int32), res=beta0, done=beta0 <= tol)
+                  it=jnp.array(0, jnp.int32), res=beta0, cycle0=beta0,
+                  done=beta0 <= tol)
 
     def cond(s):
         return ~s["done"] & (s["it"] < maxiter)
@@ -235,13 +236,19 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
 
             y = lax.fori_loop(0, m, back_sub, jnp.zeros(m, dtype))
             xn = tr.add(s["x"], tr.basis_comb(Z, y))
-            Vn, Zn, Hn, csn, snn, gn, kn, _ = init_cycle(xn)
+            Vn, Zn, Hn, csn, snn, gn, kn, beta_n = init_cycle(xn)
+            # a restart cycle that improved the residual by <10% is stalled:
+            # quit early instead of burning the full maxiter budget (the
+            # Newton layer treats no-progress solves as dt failures anyway)
+            stalled = res > 0.9 * s["cycle0"]
             return dict(x=xn, V=Vn, Z=Zn, H=Hn, cs=csn, sn=snn, g=gn, k=kn,
-                        it=it, res=res, done=conv | (it >= maxiter))
+                        it=it, res=res, cycle0=beta_n,
+                        done=conv | (it >= maxiter) | stalled)
 
         def continue_cycle(_):
             return dict(x=s["x"], V=V, Z=Z, H=H, cs=cs, sn=sn, g=g, k=k + 1,
-                        it=it, res=res, done=jnp.array(False))
+                        it=it, res=res, cycle0=s["cycle0"],
+                        done=jnp.array(False))
 
         return lax.cond(end_cycle, finalize, continue_cycle, None)
 

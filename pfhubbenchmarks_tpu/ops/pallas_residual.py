@@ -121,8 +121,13 @@ def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
 
 
 def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
-              dtype_bytes: int = 4, budget: int = 64 * 2**20) -> bool:
-    """Feasibility guard for whole-array kernels (Mosaic spills if needed)."""
+              dtype_bytes: int = 4, budget: int = 14 * 2**20) -> bool:
+    """Feasibility guard for whole-array kernels.
+
+    Mosaic's scoped-VMEM stack limit is 16 MB; measured usage is ~8x the
+    size of one [4, nq, F, ny, nx] quadrature intermediate (bench1 2-field
+    100^2: ~15 MB — fits; bench2 6-field: 45 MB — falls back to XLA).
+    """
     inter = 4 * nq * n_fields * grid.ny * grid.nx * dtype_bytes
     return 8 * inter < budget
 

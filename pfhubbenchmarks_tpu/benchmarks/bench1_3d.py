@@ -58,8 +58,20 @@ class Benchmark3DProblem:
     def residual_lowp(self):
         return self.residual(dtype=jnp.float32) if self.mixed_precision else None
 
+    def lowp_jvp_factory(self):
+        return None  # 3D Pallas kernels: future work (VMEM tiling needed)
+
     def precond_builder(self):
         kry_dtype = jnp.float32 if self.mixed_precision else self.dtype
+        if self.solver.precond == "gmg":
+            from pfhubbenchmarks_tpu.solve.gmg3d import make_gmg3d
+
+            s = self.solver
+            return make_gmg3d(self.grid, self.terms, self.n_fields,
+                              dtype=kry_dtype, nu_pre=s.gmg_nu_pre,
+                              nu_post=s.gmg_nu_post,
+                              coarse_sweeps=s.gmg_coarse_sweeps,
+                              max_levels=s.gmg_max_levels)
         return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
                                    dtype=kry_dtype)
 
@@ -110,8 +122,7 @@ def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
         },
         csv_columns=("time", "total_free_energy", "total_solute"),
         time=TimeConfig(dt0=1e-1, dt_min=1e-2, end_time=50.0, grow_threshold=5),
-        solver=SolverConfig(line_search="basic", precond="block_jacobi",
-                            krylov_max_iters=2000),
+        solver=SolverConfig(line_search="basic", precond="gmg"),
         **overrides,
     )
 

@@ -65,6 +65,13 @@ def main() -> None:
                 (np.abs(rows[:k, 1] - ref[:k, 1]) / ref[:k, 1]).max())
             out["matched_time_rows"] = k
         out["ref_rows"] = int(len(ref))
+        # curve-level error: our TFE(t) interpolated onto the reference's
+        # time grid (robust to adaptive-dt row misalignment)
+        tmax = min(rows[-1, 0], ref[-1, 0])
+        sel = ref[:, 0] <= tmax
+        interp = np.interp(ref[sel, 0], rows[:, 0], rows[:, 1])
+        out["tfe_relerr_interp"] = float(
+            (np.abs(interp - ref[sel, 1]) / ref[sel, 1]).max())
     out["steps"] = int(len(rows))
     out["final_time"] = float(rows[-1, 0])
     out["solute_drift_rel"] = float(

@@ -160,11 +160,15 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             nn = tr.norm(Fn)
             k = s["k"] + 1
             # SNESConvergedDefault: atol, rtol vs ||F0||, and the step-size
-            # test snorm <= stol * xnorm (stol default 1e-8)
+            # test snorm <= stol * xnorm (stol default 1e-8). The stol test
+            # is only meaningful when the linear solve converged — a stalled
+            # solve can return a near-zero step, and accepting it freezes the
+            # state while time advances (observed on bench2: TFE flatlined
+            # from t~31 under a diverging V-cycle + cp line search).
             snorm = jnp.abs(lam) * tr.norm(sol.x)
             xnorm = tr.norm(xn)
             converged = ((nn < cfg.newton_atol) | (nn < cfg.newton_rtol * n0)
-                         | (snorm <= cfg.newton_stol * xnorm))
+                         | ((snorm <= cfg.newton_stol * xnorm) & sol.converged))
             # Linear-solve nonconvergence alone is NOT a Newton failure:
             # PETSc's left-preconditioned GMRES "converges" in the
             # SOR-preconditioned norm on solves where a true-residual

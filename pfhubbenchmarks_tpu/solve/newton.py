@@ -54,14 +54,21 @@ def _make_line_search(kind: str, res_fn):
         def ls(x, d, F, normF):
             # PETSc SNESLineSearchCP, max_its=1 (the default): one secant
             # update for the root of g(l) = <F(x + l d), d> starting from
-            # (l, g) pairs (0, g0) and (1, g1). No clamping beyond sanity —
-            # PETSc takes the raw secant step.
+            # (l, g) pairs (0, g0) and (1, g1).
+            #
+            # Deviation from PETSc: cp assumes the residual is (close to) a
+            # gradient; on the nonsymmetric CH block system <F, d> can vanish
+            # with a perfectly good Newton direction, the secant then returns
+            # l ~ 0, and the stol test freezes the state (observed on bench2
+            # at t~31 — PETSc would freeze identically). A degenerate secant
+            # (l ~ 0 or non-finite) falls back to the full Newton step.
             g0 = tr.vdot(F, d)
             F1 = res_fn(tr.add(x, d))
             g1 = tr.vdot(F1, d)
             denom = g1 - g0
             lam = jnp.where(denom != 0, -g0 / jnp.where(denom != 0, denom, 1.0), 1.0)
-            return jnp.where(jnp.isfinite(lam), lam, jnp.asarray(1.0, normF.dtype))
+            bad = (~jnp.isfinite(lam)) | (jnp.abs(lam) < 1e-3)
+            return jnp.where(bad, jnp.asarray(1.0, normF.dtype), lam)
         return ls
 
     if kind == "bt":

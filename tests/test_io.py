@@ -74,3 +74,20 @@ def test_field_writer_hook(tmp_path):
     fw.on_step(st, pb.initial_state())
     assert (tmp_path / "bench1_000001.vti").exists()
     assert (tmp_path / "bench1.pvd").exists()
+
+
+def test_langevin_noise_shapes_and_bounds():
+    import jax
+    import jax.numpy as jnp
+
+    from pfhubbenchmarks_tpu.benchmarks import get_benchmark
+    from pfhubbenchmarks_tpu.models.noise import langevin_noise
+
+    pb = get_benchmark("bench1", nx=8, ny=8)
+    w = pb.initial_state()
+    key = jax.random.PRNGKey(0)
+    w2, key2 = langevin_noise(key, w, amplitude=0.01, fields=[0])
+    dv = np.abs(np.asarray(w2[0] - w[0]))
+    assert dv[0].max() <= 0.005 + 1e-12      # field 0 perturbed within amp/2
+    assert dv[1].max() == 0.0                # field 1 untouched
+    assert not np.array_equal(np.asarray(key), np.asarray(key2))

@@ -48,67 +48,55 @@ def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
         return [v[:, :ny, :nx], v[:, :ny, 1:nx + 1], v[:, 1:ny + 1, 1:nx + 1],
                 v[:, 1:ny + 1, :nx], m[:, :ny, :nx]]
 
-    def qp_fields(locs):
-        """-> u (tuple_F of [4, nq, ny, nx]), du (tuple_F of ([4,1,ny,nx],)*2)."""
-        u_t, du_t = [], []
-        for f in range(n_fields):
-            planes = [locs[s][f] for s in range(5)]
-            uq_rows = []
-            for t in range(4):
-                row = []
-                for q in range(nq):
-                    acc = None
-                    for s in range(5):
-                        c = float(Bq[t, q, s])
-                        if abs(c) < _ZERO_TOL:
-                            continue
-                        acc = c * planes[s] if acc is None else acc + c * planes[s]
-                    row.append(acc)
-                uq_rows.append(jnp.stack(row))
-            u_t.append(jnp.stack(uq_rows))           # [4, nq, ny, nx]
-            dd = []
-            for d in range(2):
-                rows = []
-                for t in range(4):
-                    acc = None
-                    for s in range(5):
-                        c = float(Gs[t, s, d])
-                        if abs(c) < _ZERO_TOL:
-                            continue
-                        acc = c * planes[s] if acc is None else acc + c * planes[s]
-                    rows.append(acc)
-                dd.append(jnp.stack(rows)[:, None])  # [4, 1, ny, nx]
-            du_t.append((dd[0], dd[1]))
-        return tuple(u_t), tuple(du_t)
-
-    full_shape = (4, nq, ny, nx)
+    def _combine(planes, coeffs):
+        acc = None
+        for p, c in zip(planes, coeffs):
+            c = float(c)
+            if abs(c) < _ZERO_TOL:
+                continue
+            acc = c * p if acc is None else acc + c * p
+        return acc if acc is not None else 0.0 * planes[0]
 
     def residual(w, w0, dt):
-        u_t, du_t = qp_fields(local(w))
-        u0_t, du0_t = qp_fields(local(w0))
-        ctx = QPContext(u=u_t, du=du_t, u0=u0_t, du0=du0_t, dt=dt)
-        source, flux = terms(ctx)
-        src = [jnp.broadcast_to(s, full_shape) for s in source]
-        fx = [jnp.broadcast_to(f[0], full_shape) for f in flux]
-        fy = [jnp.broadcast_to(f[1], full_shape) for f in flux]
-        # r_loc[s][f] = sum_tq WB[t,q,s] src + WGx[t,q,s] fx + WGy[t,q,s] fy
-        r_loc = []
-        for s in range(5):
-            per_field = []
-            for f in range(n_fields):
-                acc = None
-                for t in range(4):
-                    for q in range(nq):
-                        for coeff, tensor in ((WB[t, q, s], src[f]),
-                                              (WG[0][t, q, s], fx[f]),
-                                              (WG[1][t, q, s], fy[f])):
-                            c = float(coeff)
-                            if abs(c) < _ZERO_TOL:
-                                continue
-                            term = c * tensor[t, q]
-                            acc = term if acc is None else acc + term
-                per_field.append(acc)
-            r_loc.append(jnp.stack(per_field))       # [F, ny, nx]
+        """Loop over (triangle, quad point): the physics is evaluated on
+        [ny, nx] planes one point at a time, so live intermediates stay
+        ~F x ny x nx regardless of nq — this is what lets 6-field and 350^2
+        problems fit the 16 MB VMEM scoped stack."""
+        locs = local(w)
+        locs0 = local(w0)
+        acc_loc = [[None] * n_fields for _ in range(5)]
+        for t in range(4):
+            du_t = tuple(
+                (_combine([locs[s][f] for s in range(5)], Gs[t, :, 0]),
+                 _combine([locs[s][f] for s in range(5)], Gs[t, :, 1]))
+                for f in range(n_fields))
+            du0_t = tuple(
+                (_combine([locs0[s][f] for s in range(5)], Gs[t, :, 0]),
+                 _combine([locs0[s][f] for s in range(5)], Gs[t, :, 1]))
+                for f in range(n_fields))
+            for q in range(nq):
+                u_q = tuple(_combine([locs[s][f] for s in range(5)], Bq[t, q])
+                            for f in range(n_fields))
+                u0_q = tuple(_combine([locs0[s][f] for s in range(5)], Bq[t, q])
+                             for f in range(n_fields))
+                ctx = QPContext(u=u_q, du=du_t, u0=u0_q, du0=du0_t, dt=dt)
+                source, flux = terms(ctx)
+                for s in range(5):
+                    wb = float(WB[t, q, s])
+                    wgx = float(WG[0][t, q, s])
+                    wgy = float(WG[1][t, q, s])
+                    if abs(wb) < _ZERO_TOL and abs(wgx) < _ZERO_TOL \
+                            and abs(wgy) < _ZERO_TOL:
+                        continue
+                    for f in range(n_fields):
+                        term = (wb * jnp.broadcast_to(source[f], (ny, nx))
+                                + wgx * jnp.broadcast_to(flux[f][0], (ny, nx))
+                                + wgy * jnp.broadcast_to(flux[f][1], (ny, nx)))
+                        if acc_loc[s][f] is None:
+                            acc_loc[s][f] = term
+                        else:
+                            acc_loc[s][f] = acc_loc[s][f] + term
+        r_loc = [jnp.stack(per_field) for per_field in acc_loc]  # [F, ny, nx]
         ey, ex = vshape[0] - (ny + 1), vshape[1] - (nx + 1)
         rv = (jnp.pad(r_loc[0], ((0, 0), (0, 1 + ey), (0, 1 + ex)))
               + jnp.pad(r_loc[1], ((0, 0), (0, 1 + ey), (1, ex)))
@@ -122,14 +110,13 @@ def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
 
 def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
               dtype_bytes: int = 4, budget: int = 14 * 2**20) -> bool:
-    """Feasibility guard for whole-array kernels.
+    """Feasibility guard for whole-array kernels vs the 16 MB scoped VMEM.
 
-    Mosaic's scoped-VMEM stack limit is 16 MB; measured usage is ~8x the
-    size of one [4, nq, F, ny, nx] quadrature intermediate (bench1 2-field
-    100^2: ~15 MB — fits; bench2 6-field: 45 MB — falls back to XLA).
+    With the per-quad-point loop, live data is the 5+5 gathered slot planes
+    + per-point physics temporaries + 5F accumulators: ~20 x [F, ny, nx].
     """
-    inter = 4 * nq * n_fields * grid.ny * grid.nx * dtype_bytes
-    return 8 * inter < budget
+    plane = n_fields * grid.ny * grid.nx * dtype_bytes
+    return 20 * plane < budget
 
 
 def _pallas_call(grid, n_fields, dtype, kernel, n_vmem_inputs, interpret):

@@ -41,7 +41,6 @@ def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
     WG = [tab.wq[:, :, None] * tab.Gs[:, None, :, d] for d in range(2)]
     nq = tab.nq
     ny, nx = grid.ny, grid.nx
-    vshape, mshape = grid.vshape, grid.mshape
 
     def local(w):
         v, m = w
@@ -96,27 +95,22 @@ def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
                             acc_loc[s][f] = term
                         else:
                             acc_loc[s][f] = acc_loc[s][f] + term
-        r_loc = [jnp.stack(per_field) for per_field in acc_loc]  # [F, ny, nx]
-        ey, ex = vshape[0] - (ny + 1), vshape[1] - (nx + 1)
-        rv = (jnp.pad(r_loc[0], ((0, 0), (0, 1 + ey), (0, 1 + ex)))
-              + jnp.pad(r_loc[1], ((0, 0), (0, 1 + ey), (1, ex)))
-              + jnp.pad(r_loc[2], ((0, 0), (1, ey), (1, ex)))
-              + jnp.pad(r_loc[3], ((0, 0), (1, ey), (0, 1 + ex))))
-        rm = jnp.pad(r_loc[4], ((0, 0), (0, mshape[0] - ny), (0, mshape[1] - nx)))
-        return rv, rm
+        return acc_loc  # [5][F] planes of [ny, nx]
 
     return residual
 
 
 def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
-              dtype_bytes: int = 4, budget: int = 14 * 2**20) -> bool:
+              dtype_bytes: int = 4, budget: int = 15 * 2**20) -> bool:
     """Feasibility guard for whole-array kernels vs the 16 MB scoped VMEM.
 
-    With the per-quad-point loop, live data is the 5+5 gathered slot planes
-    + per-point physics temporaries + 5F accumulators: ~20 x [F, ny, nx].
+    Calibrated against Mosaic's measured stack usage: ~110x one [F, ny, nx]
+    plane for the jvp kernel (primal + tangent live sets). bench1/bench6
+    (2-3 fields, 100^2) fit; bench2 (6 fields) and bench3 (350^2) fall back
+    to the XLA assembly path.
     """
     plane = n_fields * grid.ny * grid.nx * dtype_bytes
-    return 20 * plane < budget
+    return 110 * plane < budget
 
 
 def _pallas_call(grid, n_fields, dtype, kernel, n_vmem_inputs, interpret):
@@ -137,6 +131,22 @@ def _pallas_call(grid, n_fields, dtype, kernel, n_vmem_inputs, interpret):
     )
 
 
+def _scatter_refs(acc_loc, out_v, out_m, n_fields, ny, nx):
+    """Accumulate per-slot planes into the padded output refs.
+
+    Read-modify-write slice updates instead of pad+stack: Mosaic rejects the
+    concat-of-shifted-pads pattern for >2 fields ("offset mismatch on
+    non-concat dimension")."""
+    out_v[:] = jnp.zeros_like(out_v)
+    out_m[:] = jnp.zeros_like(out_m)
+    shifts = [(0, 0), (0, 1), (1, 1), (1, 0)]  # SW, SE, NE, NW
+    for f in range(n_fields):
+        for s_i, (dy, dx) in enumerate(shifts):
+            out_v[f, dy:ny + dy, dx:nx + dx] = (
+                out_v[f, dy:ny + dy, dx:nx + dx] + acc_loc[s_i][f])
+        out_m[f, :ny, :nx] = acc_loc[4][f]
+
+
 def make_pallas_jvp(grid: CrossedTriGrid, terms, n_fields: int,
                     dtype=jnp.float32):
     """Fused J.v at linearization point (w, w0, dt): one pallas_call.
@@ -146,14 +156,15 @@ def make_pallas_jvp(grid: CrossedTriGrid, terms, n_fields: int,
     """
     residual = _scalar_assembly(grid, terms, n_fields)
 
+    ny, nx = grid.ny, grid.nx
+
     def kernel(w_v, w_m, w0_v, w0_m, v_v, v_m, dt_ref, out_v, out_m):
         dt = dt_ref[0, 0]
         w = (w_v[:], w_m[:])
         w0 = (w0_v[:], w0_m[:])
         v = (v_v[:], v_m[:])
         _, jv = jax.jvp(lambda u: residual(u, w0, dt), (w,), (v,))
-        out_v[:] = jv[0]
-        out_m[:] = jv[1]
+        _scatter_refs(jv, out_v, out_m, n_fields, ny, nx)
 
     @partial(jax.jit, static_argnames=("interpret",))
     def jv_fn(w, w0, dt, v, interpret=False):
@@ -169,11 +180,12 @@ def make_pallas_residual(grid: CrossedTriGrid, terms, n_fields: int,
     """Fused residual evaluation as a single pallas_call."""
     residual = _scalar_assembly(grid, terms, n_fields)
 
+    ny, nx = grid.ny, grid.nx
+
     def kernel(w_v, w_m, w0_v, w0_m, dt_ref, out_v, out_m):
         dt = dt_ref[0, 0]
         r = residual((w_v[:], w_m[:]), (w0_v[:], w0_m[:]), dt)
-        out_v[:] = r[0]
-        out_m[:] = r[1]
+        _scatter_refs(r, out_v, out_m, n_fields, ny, nx)
 
     @partial(jax.jit, static_argnames=("interpret",))
     def res_fn(w, w0, dt, interpret=False):

@@ -44,13 +44,25 @@ from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid, Tabulation
 # gather / scatter between grids and per-cell slot arrays
 # ---------------------------------------------------------------------------
 
-def local_values(w, ny: int, nx: int):
+def local_values(w, ny: int, nx: int, periodic: bool = False):
     """Gather cell-local slot values: (v, m) -> [5, F, ny, nx].
 
     Slices the logical region out of (possibly padded) storage; under SPMD
-    sharding the shifted slices become XLA-inserted halo reads.
+    sharding the shifted slices become XLA-inserted halo reads. Periodic
+    grids gather with wraparound rolls.
     """
     v, m = w
+    if periodic:
+        return jnp.stack(
+            [
+                v,
+                jnp.roll(v, -1, axis=2),
+                jnp.roll(v, -1, axis=(1, 2)),
+                jnp.roll(v, -1, axis=1),
+                m,
+            ],
+            axis=0,
+        )
     return jnp.stack(
         [
             v[:, :ny, :nx],
@@ -63,14 +75,21 @@ def local_values(w, ny: int, nx: int):
     )
 
 
-def scatter_add(r_loc, vshape, mshape, ny: int, nx: int):
+def scatter_add(r_loc, vshape, mshape, ny: int, nx: int, periodic: bool = False):
     """Scatter per-cell slot contributions back: [5, F, ny, nx] -> (rv, rm).
 
     Implemented as pad-and-add so XLA's SPMD partitioner turns shard-edge
     contributions into halo exchanges (the ghostUpdate(ADD, REVERSE)
     equivalent, cf. dolfinx/pfbase/pde_problems.py:161). Output arrays are
-    padded to the stored shapes; padding stays exactly zero.
+    padded to the stored shapes; padding stays exactly zero. Periodic grids
+    scatter with wraparound rolls (the transpose of the periodic gather).
     """
+    if periodic:
+        rv = (r_loc[0]
+              + jnp.roll(r_loc[1], 1, axis=2)
+              + jnp.roll(r_loc[2], 1, axis=(1, 2))
+              + jnp.roll(r_loc[3], 1, axis=1))
+        return rv, r_loc[4]
     pad = jnp.pad
     ey, ex = vshape[0] - (ny + 1), vshape[1] - (nx + 1)
     rv = (
@@ -146,12 +165,16 @@ def make_residual(
     full_shape = (4, tab.nq, grid.ny, grid.nx)
     ny, nx = grid.ny, grid.nx
     vshape, mshape = grid.vshape, grid.mshape
+    periodic = grid.periodic
+    if periodic:
+        assert grid.pad_to == (1, 1), "periodic grids do not support padding"
+        assert not dirichlet, "periodic topology excludes Dirichlet sides"
 
     def residual(w, w0, dt):
-        loc = local_values(w, ny, nx)
+        loc = local_values(w, ny, nx, periodic)
         uq, du = _eval_qp(Bq, Gs, loc)
         u_t, du_t = _as_tuples(uq, du)
-        loc0 = local_values(w0, ny, nx)
+        loc0 = local_values(w0, ny, nx, periodic)
         u0q, du0 = _eval_qp(Bq, Gs, loc0)
         u0_t, du0_t = _as_tuples(u0q, du0)
         ctx = QPContext(
@@ -167,7 +190,7 @@ def make_residual(
             + jnp.einsum("tqs,ftqyx->sfyx", WGx, fx)
             + jnp.einsum("tqs,ftqyx->sfyx", WGy, fy)
         )
-        rv, rm = scatter_add(r_loc, vshape, mshape, ny, nx)
+        rv, rm = scatter_add(r_loc, vshape, mshape, ny, nx, periodic)
         for bc in dirichlet:
             rv = bc.apply_residual(rv, w[0])
         return rv, rm
@@ -199,7 +222,7 @@ def make_functional(
     ny, nx = grid.ny, grid.nx
 
     def value(w):
-        loc = local_values(w, ny, nx)
+        loc = local_values(w, ny, nx, grid.periodic)
         uq, du = _eval_qp(Bq, Gs, loc)
         u_t, du_t = _as_tuples(uq, du)
         ctx = QPContext(

@@ -116,6 +116,12 @@ class CrossedTriGrid:
     Ly: float
     rule_name: str = "ffc3"
     pad_to: tuple[int, int] = (1, 1)
+    # Periodic topology in both directions (the reference implements a
+    # PeriodicBoundary constraint, dolfin/pfbase.py:11-37, but never enables
+    # it — available here for completeness). Periodic grids have no
+    # duplicated right/top vertex line and use wraparound gather/scatter;
+    # padding is unsupported (assert in assembly).
+    periodic: bool = False
 
     @property
     def hx(self) -> float:
@@ -126,14 +132,23 @@ class CrossedTriGrid:
         return self.Ly / self.ny
 
     @property
+    def n_vertices_y(self) -> int:
+        return self.ny if self.periodic else self.ny + 1
+
+    @property
+    def n_vertices_x(self) -> int:
+        return self.nx if self.periodic else self.nx + 1
+
+    @property
     def n_nodes(self) -> int:
-        return (self.nx + 1) * (self.ny + 1) + self.nx * self.ny
+        return self.n_vertices_x * self.n_vertices_y + self.nx * self.ny
 
     @property
     def vshape(self) -> tuple[int, int]:
-        """Stored (padded) vertex-grid shape; logical is (ny+1, nx+1)."""
+        """Stored (padded) vertex-grid shape; logical is (ny+1, nx+1)
+        (or (ny, nx) when periodic)."""
         py, px = self.pad_to
-        return _round_up(self.ny + 1, py), _round_up(self.nx + 1, px)
+        return _round_up(self.n_vertices_y, py), _round_up(self.n_vertices_x, px)
 
     @property
     def mshape(self) -> tuple[int, int]:
@@ -142,12 +157,11 @@ class CrossedTriGrid:
         return _round_up(self.ny, py), _round_up(self.nx, px)
 
     def pad_state(self, v: np.ndarray, m: np.ndarray):
-        """Embed logical nodal arrays [F, ny+1, nx+1] / [F, ny, nx] into
-        padded storage."""
+        """Embed logical nodal arrays into padded storage."""
         Yv, Xv = self.vshape
         Ym, Xm = self.mshape
         vp = np.zeros((v.shape[0], Yv, Xv), v.dtype)
-        vp[:, : self.ny + 1, : self.nx + 1] = v
+        vp[:, : self.n_vertices_y, : self.n_vertices_x] = v
         mp = np.zeros((m.shape[0], Ym, Xm), m.dtype)
         mp[:, : self.ny, : self.nx] = m
         return vp, mp
@@ -158,11 +172,12 @@ class CrossedTriGrid:
     # ---- node coordinates (host-side, float64) ----
 
     def vertex_coords(self) -> tuple[np.ndarray, np.ndarray]:
-        """(x, y) arrays of shape [ny+1, nx+1]."""
-        x = np.arange(self.nx + 1) * self.hx
-        y = np.arange(self.ny + 1) * self.hy
-        return np.broadcast_to(x, (self.ny + 1, self.nx + 1)).copy(), \
-            np.broadcast_to(y[:, None], (self.ny + 1, self.nx + 1)).copy()
+        """(x, y) arrays of the logical vertex grid."""
+        Yv, Xv = self.n_vertices_y, self.n_vertices_x
+        x = np.arange(Xv) * self.hx
+        y = np.arange(Yv) * self.hy
+        return np.broadcast_to(x, (Yv, Xv)).copy(), \
+            np.broadcast_to(y[:, None], (Yv, Xv)).copy()
 
     def center_coords(self) -> tuple[np.ndarray, np.ndarray]:
         """(x, y) arrays of shape [ny, nx]."""
@@ -218,11 +233,14 @@ class CrossedTriGrid:
         for name, slot in (("mass", mass_slot), ("lumped_mass", lumped_slot),
                            ("stiff", stiff_slot), ("stiff_xx", stiff_xx_slot),
                            ("stiff_yy", stiff_yy_slot)):
-            dv = np.zeros((self.ny + 1, self.nx + 1))
-            dv[:-1, :-1] += slot[0]
-            dv[:-1, 1:] += slot[1]
-            dv[1:, 1:] += slot[2]
-            dv[1:, :-1] += slot[3]
+            if self.periodic:
+                dv = np.full((self.ny, self.nx), slot[0] + slot[1] + slot[2] + slot[3])
+            else:
+                dv = np.zeros((self.ny + 1, self.nx + 1))
+                dv[:-1, :-1] += slot[0]
+                dv[:-1, 1:] += slot[1]
+                dv[1:, 1:] += slot[2]
+                dv[1:, :-1] += slot[3]
             dm = np.full((self.ny, self.nx), slot[4])
             out[name] = (dv, dm)
         return out

@@ -194,3 +194,91 @@ def make_pallas_residual(grid: CrossedTriGrid, terms, n_fields: int,
             w[0], w[1], w0[0], w0[1], dt_arr)
 
     return res_fn
+
+
+def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
+                          dtype=jnp.float32, n_sweeps: int = 1):
+    """Fully fused local-minimal-residual smoothing sweep.
+
+    One pallas_call computes z = blockJacobi(r), Az = J z (linearized at
+    (w, w0, dt)), the two step-length reductions, and the (x, r) updates —
+    eliminating ~10 kernel-launch/reduction-latency boundaries per sweep,
+    which dominate V-cycle cost on PFHub-sized grids.
+
+    P_inv is passed as [F, F, Y, X] planes (node-wise block inverse, built
+    once per Newton iteration by solve/precond.py); Dirichlet handling is
+    baked into P_inv rows, but the J.v row replacement is NOT done here —
+    gate usage on Dirichlet-free problems.
+
+    Returns ``sweep(x, r, w, w0, dt, Pinv_v, Pinv_m) -> (x', r')``.
+    """
+    residual = _scalar_assembly(grid, terms, n_fields)
+    ny, nx = grid.ny, grid.nx
+    F = n_fields
+
+    def kernel(x_v, x_m, r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref,
+               ox_v, ox_m, or_v, or_m, az_v, az_m):
+        dt = dt_ref[0, 0]
+        w = (w_v[:], w_m[:])
+        w0 = (w0_v[:], w0_m[:])
+        xv, xm = x_v[:], x_m[:]
+        rv, rm = r_v[:], r_m[:]
+        for _ in range(n_sweeps):
+            # z = P^-1 r, unrolled F x F plane FMAs (Mosaic can't do einsum)
+            z_v = []
+            z_m = []
+            for i in range(F):
+                av = None
+                am = None
+                for j in range(F):
+                    tv = pv[i, j] * rv[j]
+                    tm = pm[i, j] * rm[j]
+                    av = tv if av is None else av + tv
+                    am = tm if am is None else am + tm
+                z_v.append(av)
+                z_m.append(am)
+            z = (jnp.stack(z_v), jnp.stack(z_m))
+            _, az_planes = jax.jvp(lambda u: residual(u, w0, dt), (w,), (z,))
+            # assemble Az via VMEM scratch refs (value-level .at[].add lowers
+            # to an unsupported scatter-add; ref slice updates are fine)
+            _scatter_refs(az_planes, az_v, az_m, F, ny, nx)
+            Az_v = az_v[:]
+            Az_m = az_m[:]
+            num = jnp.sum(Az_v * rv) + jnp.sum(Az_m * rm)
+            den = jnp.sum(Az_v * Az_v) + jnp.sum(Az_m * Az_m)
+            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+            xv = xv + alpha * z[0]
+            xm = xm + alpha * z[1]
+            rv = rv - alpha * Az_v
+            rm = rm - alpha * Az_m
+        ox_v[:] = xv
+        ox_m[:] = xm
+        or_v[:] = rv
+        or_m[:] = rm
+
+    Yv, Xv = grid.vshape
+    Ym, Xm = grid.mshape
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def sweep(x, r, w, w0, dt, pinv_v, pinv_m, interpret=False):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        ox_v, ox_m, or_v, or_m = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                jax.ShapeDtypeStruct((F, Ym, Xm), dtype),
+                jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                jax.ShapeDtypeStruct((F, Ym, Xm), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(4)),
+            scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
+                            pltpu.VMEM((F, Ym, Xm), dtype)],
+            interpret=interpret,
+        )(x[0], x[1], r[0], r[1], w[0], w[1], w0[0], w0[1], pinv_v, pinv_m,
+          dt_arr)
+        return (ox_v, ox_m), (or_v, or_m)
+
+    return sweep

@@ -74,6 +74,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     residuals = []
     bj_builders = []
     pallas_jvs = []
+    pallas_sweeps = []
     level_bcs = []
     for g in grids:
         bcs = dirichlet_for(g)
@@ -86,19 +87,32 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                                              needs_coords=needs_coords))
         if use_pallas and not needs_coords:
             from pfhubbenchmarks_tpu.ops.pallas_residual import (
-                fits_vmem, make_pallas_jvp)
+                fits_vmem, make_pallas_jvp, make_pallas_lmr_sweep)
 
+            ok = fits_vmem(g, n_fields)
             pallas_jvs.append(
                 make_pallas_jvp(g, terms, n_fields, dtype=precond_dtype)
-                if fits_vmem(g, n_fields) else None)
+                if ok else None)
+            # one fused multi-sweep kernel per distinct sweep count, so a
+            # whole smoothing phase is a single kernel launch
+            if ok and not bcs:
+                counts = sorted({nu_pre, nu_post, coarse_sweeps})
+                pallas_sweeps.append({
+                    n: make_pallas_lmr_sweep(g, terms, n_fields,
+                                             dtype=precond_dtype, n_sweeps=n)
+                    for n in counts})
+            else:
+                pallas_sweeps.append(None)
         else:
             pallas_jvs.append(None)
+            pallas_sweeps.append(None)
     Ps = [prolong(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     Rs = [restrict(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     injs = [inject_state(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
 
     def build(w, w0, dt):
         ops = []
+        sweep_fns = []
         wl = _cast(w, precond_dtype)
         w0l = _cast(w0, precond_dtype)
         dtl = jnp.asarray(dt, precond_dtype)
@@ -122,12 +136,27 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 _, jvp = jax.linearize(lambda u: res_l(u, w0l, dtl), wl)
             bj = bj_builders[l](wl, w0l, dtl)
             ops.append((jvp, bj))
+            if pallas_sweeps[l] is not None:
+                pinv = bj.pinv_planes
+                kernels = pallas_sweeps[l]
+
+                def sweep_fn(x, r, n, kernels=kernels, pinv=pinv, wl=wl,
+                             w0l=w0l):
+                    return kernels[n](x, r, wl, w0l, dtl, pinv[0], pinv[1])
+
+                sweep_fns.append(sweep_fn)
+            else:
+                sweep_fns.append(None)
             if l + 1 < len(grids):
                 wl = injs[l](wl)
                 w0l = injs[l](w0l)
 
         def smooth(l, x, r, sweeps):
-            """LMR sweeps, scanned so the J.v subgraph appears once."""
+            """LMR sweeps, scanned so the J.v subgraph appears once.
+            A whole smoothing phase is ONE fused Pallas kernel when available
+            (kernel-launch latency dominates at these grid sizes)."""
+            if sweep_fns[l] is not None:
+                return sweep_fns[l](x, r, sweeps)
             jvp, bj = ops[l]
 
             def body(carry, _):

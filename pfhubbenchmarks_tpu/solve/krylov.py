@@ -142,7 +142,7 @@ def gmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
 
 
 def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
-           maxiter=1000) -> KrylovResult:
+           maxiter=1000, reorthogonalize=False) -> KrylovResult:
     """Flexible (right-preconditioned) restarted GMRES.
 
     Stores the preconditioned directions Z_k = M(v_k), so M may be a
@@ -186,9 +186,12 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
         mask = (jnp.arange(m + 1) <= k).astype(dtype)
         h1 = tr.basis_dots(s["V"], w) * mask
         w = tr.sub(w, tr.basis_comb(s["V"], h1))
-        h2 = tr.basis_dots(s["V"], w) * mask
-        w = tr.sub(w, tr.basis_comb(s["V"], h2))
-        h = h1 + h2
+        if reorthogonalize:
+            h2 = tr.basis_dots(s["V"], w) * mask
+            w = tr.sub(w, tr.basis_comb(s["V"], h2))
+            h = h1 + h2
+        else:
+            h = h1
         hk1 = tr.norm(w)
         V = tr.basis_set(s["V"], k + 1, tr.scale(tr.safe_inv(hk1), w))
 

@@ -141,6 +141,10 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
             sm = jnp.einsum("yxij,jyx->iyx", Pm_inv, rm)
             return sv, sm
 
+        # expose the block inverses as [F, F, Y, X] planes for fused Pallas
+        # smoothing kernels (Mosaic cannot lower the einsum layout)
+        Minv.pinv_planes = (jnp.transpose(Pv_inv, (2, 3, 0, 1)),
+                            jnp.transpose(Pm_inv, (2, 3, 0, 1)))
         return Minv
 
     return build

@@ -105,3 +105,27 @@ def test_newton_reports_nonconvergence():
     res = solve(x0, x0, 1.0)
     assert not bool(res.converged)
     assert int(res.iters) == 1
+
+
+def test_cp_line_search_survives_skew_system():
+    """Regression: on a near-skew Jacobian <F, d> ~ 0 makes the cp secant
+    return lambda ~ 0; with the stol test that froze the state (seen on
+    bench2 at t~31). The full-step fallback must keep Newton converging."""
+    theta = np.pi / 2 - 1e-3
+    R = jnp.asarray([[np.cos(theta), -np.sin(theta)],
+                     [np.sin(theta), np.cos(theta)]])
+    A = jnp.kron(R, jnp.eye(8))
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(16))
+
+    def residual(u, u_prev, dt):
+        return A @ u + 0.01 * u**3 - b
+
+    cfg = SolverConfig(newton_atol=1e-10, newton_max_iters=25,
+                       krylov_rtol=1e-10, line_search="cp",
+                       mixed_precision=False)
+    solve = make_newton_solver(residual, cfg, lambda w, w0, dt: (lambda r: r))
+    x0 = jnp.zeros_like(b)
+    res = solve(x0, x0, 1.0)
+    assert bool(res.converged)
+    assert float(res.res_norm) < 1e-7

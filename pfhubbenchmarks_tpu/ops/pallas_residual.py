@@ -101,16 +101,18 @@ def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
 
 
 def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
-              dtype_bytes: int = 4, budget: int = 15 * 2**20) -> bool:
+              dtype_bytes: int = 4, budget: int = 15 * 2**20,
+              factor: int = 110) -> bool:
     """Feasibility guard for whole-array kernels vs the 16 MB scoped VMEM.
 
-    Calibrated against Mosaic's measured stack usage: ~110x one [F, ny, nx]
-    plane for the jvp kernel (primal + tangent live sets). bench1/bench6
-    (2-3 fields, 100^2) fit; bench2 (6 fields) and bench3 (350^2) fall back
-    to the XLA assembly path.
+    Calibrated against Mosaic's measured stack usage per [F, ny, nx] plane:
+    ~110x for the jvp kernel, ~150x for the multi-sweep LMR kernel (pass
+    ``factor=150``). bench1 (2 fields, 100^2) fits both; 3-field problems fit
+    the jvp kernel only; bench2 (6 fields) and bench3 (350^2) fall back to
+    the XLA assembly path entirely.
     """
     plane = n_fields * grid.ny * grid.nx * dtype_bytes
-    return 110 * plane < budget
+    return factor * plane < budget
 
 
 def _pallas_call(grid, n_fields, dtype, kernel, n_vmem_inputs, interpret):

@@ -95,7 +95,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 if ok else None)
             # one fused multi-sweep kernel per distinct sweep count, so a
             # whole smoothing phase is a single kernel launch
-            if ok and not bcs:
+            if ok and not bcs and fits_vmem(g, n_fields, factor=150):
                 counts = sorted({nu_pre, nu_post, coarse_sweeps})
                 pallas_sweeps.append({
                     n: make_pallas_lmr_sweep(g, terms, n_fields,

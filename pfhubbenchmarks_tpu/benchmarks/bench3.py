@@ -75,9 +75,19 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
 
     def aniso(dphi):
         """a(theta) = 1 + eps_m cos(m (theta - theta0)) with atan2 (the
-        reference's atan version produced NaNs and was disabled)."""
-        theta = jnp.arctan2(dphi[1], dphi[0])
-        return 1.0 + p.epsilon_m * jnp.cos(p.m * (theta - p.theta0))
+        reference's atan version produced NaNs and was disabled,
+        dolfin/bench3.py:72-77).
+
+        AD-safe: where grad(phi) = 0 (the bulk), atan2's derivative is NaN;
+        substitute a unit direction there and select a=1 — the double-where
+        pattern keeps the Jacobian-vector products finite."""
+        g2 = dphi[0] ** 2 + dphi[1] ** 2
+        safe = g2 > 1e-20
+        dx = jnp.where(safe, dphi[0], 1.0)
+        dy = jnp.where(safe, dphi[1], 0.0)
+        theta = jnp.arctan2(dy, dx)
+        a = 1.0 + p.epsilon_m * jnp.cos(p.m * (theta - p.theta0))
+        return jnp.where(safe, a, 1.0)
 
     def terms(ctx):
         U, phi = ctx.u

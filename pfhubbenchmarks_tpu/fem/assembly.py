@@ -30,14 +30,14 @@ residual — the counterpart of UFL's ``derivative`` (dolfin/bench1.py:68).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid, Tabulation
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 
 
 # ---------------------------------------------------------------------------

@@ -8,7 +8,7 @@ models/forms.py works unchanged.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ dolfin/bench1.py:68).
 from __future__ import annotations
 
 import typing
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

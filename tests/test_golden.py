@@ -73,3 +73,12 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(resumed.state[0]),
                                   np.asarray(full.state[0]))
     np.testing.assert_allclose(resumed.rows[:, 1], full.rows[3:, 1], rtol=1e-14)
+
+
+def test_bench3_anisotropy_flag_runs_without_nan():
+    """The reference authored anisotropy but disabled it over atan NaNs
+    (dolfin/bench3.py:72-81); our atan2 version must run clean."""
+    problem = get_benchmark("bench3", nx=48, ny=48, anisotropy=True)
+    res = timeloop.run(problem, max_steps=3, verbose=False)
+    assert np.isfinite(res.rows).all()
+    assert (np.diff(res.rows[:, 1]) < 0).all()

@@ -80,18 +80,24 @@ class BenchmarkProblem:
         """f32 residual build for the mixed-precision Krylov path."""
         return self.residual(dtype=jnp.float32) if self.mixed_precision else None
 
-    def _pallas_enabled(self) -> bool:
+    def _pallas_backend_ok(self) -> bool:
+        """Backend/flag gate only — VMEM feasibility is judged per grid
+        (multigrid levels coarser than the fine grid may fit when it
+        doesn't)."""
         if self.solver.use_pallas == "off" or self.needs_coords:
-            return False
-        import jax
-
-        from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
-
-        if not fits_vmem(self.grid, self.n_fields):
             return False
         if self.solver.use_pallas == "on":
             return True
+        import jax
+
         return "TPU" in jax.devices()[0].device_kind
+
+    def _pallas_enabled(self) -> bool:
+        if not self._pallas_backend_ok():
+            return False
+        from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
+
+        return fits_vmem(self.grid, self.n_fields)
 
     def lowp_jvp_factory(self):
         """Fused Pallas J.v for the Krylov matvec (TPU), else None."""
@@ -134,7 +140,7 @@ class BenchmarkProblem:
                 needs_coords=self.needs_coords, nu_pre=s.gmg_nu_pre,
                 nu_post=s.gmg_nu_post, omega=s.gmg_omega,
                 coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
-                use_pallas=self._pallas_enabled(),
+                use_pallas=self._pallas_backend_ok(),
             )
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,

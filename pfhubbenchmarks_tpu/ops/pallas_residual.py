@@ -100,19 +100,36 @@ def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
     return residual
 
 
+def _tiled_slab_bytes(grid: CrossedTriGrid, dtype_bytes: int = 4) -> int:
+    """Bytes of ONE field slab under TPU (8, 128) tiling — small arrays pad
+    heavily, and Mosaic's VMEM accounting is in tiled units."""
+    y = -(-(grid.ny + 1) // 8) * 8
+    x = -(-(grid.nx + 1) // 128) * 128
+    return y * x * dtype_bytes
+
+
 def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
               dtype_bytes: int = 4, budget: int = 15 * 2**20,
-              factor: int = 110) -> bool:
+              kernel: str = "jvp") -> bool:
     """Feasibility guard for whole-array kernels vs the 16 MB scoped VMEM.
 
-    Calibrated against Mosaic's measured stack usage per [F, ny, nx] plane:
-    ~110x for the jvp kernel, ~150x for the multi-sweep LMR kernel (pass
-    ``factor=150``). bench1 (2 fields, 100^2) fits both; 3-field problems fit
-    the jvp kernel only; bench2 (6 fields) and bench3 (350^2) fall back to
-    the XLA assembly path entirely.
+    Calibrated against Mosaic's measured stack usage (in TILED plane units
+    T = one (8,128)-padded field slab):
+
+      jvp kernel:   ~85 * F * T       (6F/100^2: 26.2 MB; 2F/100^2: 8.7 MB)
+      sweep kernel: ~66 * F * T + 15 * F^2 * T   (the F^2 term is the
+                    node-block inverse planes; 3F/100^2: 17.6 MB,
+                    6F/50^2: 26.6 MB — both measured)
     """
-    plane = n_fields * grid.ny * grid.nx * dtype_bytes
-    return factor * plane < budget
+    T = _tiled_slab_bytes(grid, dtype_bytes)
+    if kernel == "sweep":
+        # Measured sweep-kernel stacks do not fit a clean (F, T) model
+        # (3F/100^2: 17.6 MB, 6F/50^2: 26.6 MB, 6F/25^2: 22.4 MB — all OOM;
+        # 2F/100^2 and below compile). Conservative empirical rule: 2-field
+        # systems only, within the jvp envelope.
+        return n_fields <= 2 and 85 * n_fields * T < budget
+    need = 85 * n_fields * T
+    return need < budget
 
 
 def _pallas_call(grid, n_fields, dtype, kernel, n_vmem_inputs, interpret):

@@ -93,14 +93,25 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             pallas_jvs.append(
                 make_pallas_jvp(g, terms, n_fields, dtype=precond_dtype)
                 if ok else None)
-            # one fused multi-sweep kernel per distinct sweep count, so a
-            # whole smoothing phase is a single kernel launch
-            if ok and not bcs and fits_vmem(g, n_fields, factor=150):
-                counts = sorted({nu_pre, nu_post, coarse_sweeps})
-                pallas_sweeps.append({
-                    n: make_pallas_lmr_sweep(g, terms, n_fields,
-                                             dtype=precond_dtype, n_sweeps=n)
-                    for n in counts})
+            # fused multi-sweep kernels: unroll is capped per kernel (the
+            # Mosaic stack grows with unrolled sweep count) and smoothing
+            # phases scan whole-chunk kernel calls
+            def _chunk(n):
+                for c in (6, 5, 4, 3, 2, 1):
+                    if n % c == 0:
+                        return c
+                return 1
+
+            counts = sorted({nu_pre, nu_post, coarse_sweeps})
+            chunks = {n: _chunk(n) for n in counts}
+            max_chunk = max(chunks.values())
+            if ok and not bcs and fits_vmem(g, n_fields, nq=max_chunk,
+                                            kernel="sweep"):
+                kernels = {c: make_pallas_lmr_sweep(g, terms, n_fields,
+                                                    dtype=precond_dtype,
+                                                    n_sweeps=c)
+                           for c in sorted(set(chunks.values()))}
+                pallas_sweeps.append((chunks, kernels))
             else:
                 pallas_sweeps.append(None)
         else:
@@ -138,11 +149,18 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             ops.append((jvp, bj))
             if pallas_sweeps[l] is not None:
                 pinv = bj.pinv_planes
-                kernels = pallas_sweeps[l]
+                chunks, kernels = pallas_sweeps[l]
 
-                def sweep_fn(x, r, n, kernels=kernels, pinv=pinv, wl=wl,
-                             w0l=w0l):
-                    return kernels[n](x, r, wl, w0l, dtl, pinv[0], pinv[1])
+                def sweep_fn(x, r, n, chunks=chunks, kernels=kernels,
+                             pinv=pinv, wl=wl, w0l=w0l):
+                    c = chunks[n]
+                    kern = kernels[c]
+
+                    def body(carry, _):
+                        return kern(*carry, wl, w0l, dtl, pinv[0], pinv[1]), None
+
+                    (x, r), _ = lax.scan(body, (x, r), None, length=n // c)
+                    return x, r
 
                 sweep_fns.append(sweep_fn)
             else:

@@ -1,0 +1,28 @@
+"""End-to-end CLI surface test (subprocess, CPU)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+def test_bench1_cli_end_to_end(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "b1.csv"
+    stats = tmp_path / "steps.jsonl"
+    fields = tmp_path / "fields"
+    cmd = [sys.executable, "-m", "pfhubbenchmarks_tpu.benchmarks.bench1",
+           "--nx", "8", "--ny", "8", "--max-steps", "2", "--quiet",
+           "--out", str(out), "--stats-log", str(stats),
+           "--save-fields", "1", "--fields-dir", str(fields)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = np.loadtxt(out, delimiter=",", skiprows=1)
+    assert rows.shape == (2, 3)
+    assert len(stats.read_text().splitlines()) == 2
+    assert (fields / "bench1.pvd").exists()
+    assert (fields / "bench1_000001.vti").exists()

@@ -21,6 +21,7 @@ _BENCHMARKS = {
     "bench6": "pfhubbenchmarks_tpu.benchmarks.bench6",
     "bench1_3d": "pfhubbenchmarks_tpu.benchmarks.bench1_3d",
     "elast": "pfhubbenchmarks_tpu.benchmarks.elast",
+    "poisson": "pfhubbenchmarks_tpu.benchmarks.poisson",
 }
 
 

@@ -115,7 +115,12 @@ def main(name: str, argv=None) -> None:
                               on_step=(on_step if hooks else None),
                               **resume_kwargs)
     wall = time.time() - t0
-    write_csv(args.out, result.rows, result.columns)
+    rows = result.rows
+    if ckpt is not None and ckpt.restored_rows is not None and len(rows):
+        import numpy as np
+
+        rows = np.concatenate([ckpt.restored_rows, rows])
+    write_csv(args.out, rows, result.columns)
     n = len(result.stats)
     print(f"{name}: {n} steps to t={result.rows[-1, 0]:.6g} in {wall:.2f}s "
           f"({wall / max(n, 1):.3f}s/step) -> {args.out}")

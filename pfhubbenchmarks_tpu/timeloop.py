@@ -37,12 +37,14 @@ _EPS = 3e-16  # DOLFIN_EPS
 class StepStats:
     step: int
     t: float
-    dt: float
+    dt: float               # dt actually used for this accepted step
     newton_iters: int
     krylov_iters: int
     retries: int
     res_norm: float
     wall: float
+    dt_next: float = 0.0    # dt the adaptive rule chose for the next step
+    row: list = dataclasses.field(default_factory=list)  # [t, *observables]
 
 
 @dataclasses.dataclass
@@ -77,9 +79,17 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         max_steps: int | None = None, verbose: bool = True,
         max_retries_at_dt_min: int = 60,
         state0=None, t0: float | None = None, dt0: float | None = None,
+        step0: int = 0, time_grid=None,
         on_step: Callable[[StepStats, tuple], None] | None = None,
         _runner: "Runner | None" = None) -> RunResult:
-    """Run a benchmark to final time; returns the CSV rows + per-step stats."""
+    """Run a benchmark to final time; returns the CSV rows + per-step stats.
+
+    ``time_grid``: optional array of absolute times to step to (replay mode).
+    Replaces the adaptive-dt rule with the given grid — used to replay the
+    reference's committed time grid (results/bench*_out.csv column 0) so
+    per-step solve accuracy can be measured independently of dt-sequence
+    parity. Nonconvergence in replay mode is an error (the grid would desync).
+    """
     tc = problem.time
     end_time = tc.end_time if end_time is None else end_time
     runner = _runner or Runner(problem)
@@ -93,11 +103,17 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
     rows = []
     stats: list[StepStats] = []
     wall_start = _time.time()
-    step = 0
+    step = step0
 
     while t < end_time + _EPS:
-        if max_steps is not None and step >= max_steps:
+        if max_steps is not None and step - step0 >= max_steps:
             break
+        if time_grid is not None:
+            if step >= len(time_grid):
+                break
+            dt = float(time_grid[step]) - t
+            if dt <= 0:
+                raise ValueError(f"time_grid not increasing at index {step}")
         step += 1
         tprev = t
         w0 = w
@@ -107,6 +123,10 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         res = newton(w0, w0, dt)
         niters = int(res.iters)
         while not bool(res.converged):
+            if time_grid is not None:
+                raise RuntimeError(
+                    f"{problem.name}: replay step {step} (t={t:.6g}) did not "
+                    f"converge; |F|={float(res.res_norm):.3e}")
             retries += 1
             if dt <= tc.dt_min * (1 + 1e-12) and retries > max_retries_at_dt_min:
                 raise RuntimeError(
@@ -120,6 +140,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
             niters = int(res.iters)
         w = res.x
         wall = _time.time() - t_attempt
+        dt_used = dt
 
         # reference adaptive rule (dolfin/bench1.py:179-183)
         if niters < tc.grow_threshold:
@@ -129,9 +150,10 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
 
         obs = [float(obs_fns[c](w)) for c in problem.csv_columns[1:]]
         rows.append([t] + obs)
-        st = StepStats(step=step, t=t, dt=dt, newton_iters=niters,
+        st = StepStats(step=step, t=t, dt=dt_used, newton_iters=niters,
                        krylov_iters=int(res.krylov_iters), retries=retries,
-                       res_norm=float(res.res_norm), wall=wall)
+                       res_norm=float(res.res_norm), wall=wall,
+                       dt_next=dt, row=rows[-1])
         stats.append(st)
         if verbose:
             obs_str = ", ".join(f"{c}={v:.10g}" for c, v in zip(problem.csv_columns[1:], obs))

@@ -73,6 +73,27 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(resumed.state[0]),
                                   np.asarray(full.state[0]))
     np.testing.assert_allclose(resumed.rows[:, 1], full.rows[3:, 1], rtol=1e-14)
+    # the checkpoint carries the pre-resume CSV rows and the step counter, so
+    # a resumed run can emit the complete trajectory (ADVICE round 1)
+    assert ck.restored_rows is not None
+    np.testing.assert_allclose(ck.restored_rows, full.rows[:3], rtol=1e-14)
+    assert resumed.stats[0].step == 4
+
+
+def test_checkpoint_resume_3d_state(tmp_path):
+    """Checkpointing is pytree-generic: bench1_3d's 1-tuple state works
+    (round-1 version hardcoded the 2D (v, m) layout)."""
+    from pfhubbenchmarks_tpu.io.checkpoint import CheckpointManager
+
+    problem = get_benchmark("bench1_3d", nx=8, ny=8, nz=8)
+    full = timeloop.run(problem, max_steps=4, verbose=False)
+
+    ck = CheckpointManager(str(tmp_path), "bench1_3d", every=1)
+    timeloop.run(problem, max_steps=2, verbose=False, on_step=ck.on_step)
+    resumed = timeloop.run(problem, max_steps=2, verbose=False,
+                           **ck.restore_kwargs())
+    np.testing.assert_array_equal(np.asarray(resumed.state[0]),
+                                  np.asarray(full.state[0]))
 
 
 def test_bench3_anisotropy_flag_runs_without_nan():

@@ -74,45 +74,63 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
         return (phi - lam * U * (1.0 - phi ** 2)) * (1.0 - phi ** 2)
 
     def aniso(dphi):
-        """a(theta) = 1 + eps_m cos(m (theta - theta0)) with atan2 (the
-        reference's atan version produced NaNs and was disabled,
+        """a(theta) = 1 + eps_m cos(m (theta - theta0)) and a'(theta), with
+        atan2 (the reference's atan version produced NaNs and was disabled,
         dolfin/bench3.py:72-77).
 
         AD-safe: where grad(phi) = 0 (the bulk), atan2's derivative is NaN;
-        substitute a unit direction there and select a=1 — the double-where
-        pattern keeps the Jacobian-vector products finite."""
+        substitute a unit direction there and select a=1, a'=0 — the
+        double-where pattern keeps the Jacobian-vector products finite."""
         g2 = dphi[0] ** 2 + dphi[1] ** 2
         safe = g2 > 1e-20
         dx = jnp.where(safe, dphi[0], 1.0)
         dy = jnp.where(safe, dphi[1], 0.0)
         theta = jnp.arctan2(dy, dx)
         a = 1.0 + p.epsilon_m * jnp.cos(p.m * (theta - p.theta0))
-        return jnp.where(safe, a, 1.0)
+        aprime = -p.epsilon_m * p.m * jnp.sin(p.m * (theta - p.theta0))
+        return jnp.where(safe, a, 1.0), jnp.where(safe, aprime, 0.0)
 
     def terms(ctx):
         U, phi = ctx.u
         U0, phi0 = ctx.u0
         dU, dphi = ctx.du
         if anisotropy:
-            a = aniso(dphi)
+            a, aprime = aniso(dphi)
+            # corner-force terms: the variational derivative of the
+            # anisotropic gradient energy 1/2 W(theta)^2 |grad phi|^2 is
+            #   -div( W^2 grad phi + W W' |grad phi|^2 d theta/d grad phi )
+            # and with theta = atan2(phi_y, phi_x),
+            # |grad phi|^2 * d theta/d grad phi = (-phi_y, phi_x), giving the
+            # Kobayashi rotation flux W W' (-phi_y, phi_x) (Kobayashi 1993;
+            # the term the reference's disabled code never included — ADVICE
+            # round 1 flagged the W W' omission).
+            wwp = p.W0 ** 2 * a * aprime
         else:
             a = 1.0
+            wwp = 0.0
         W2 = (p.W0 * a) ** 2
         inv_tau = 1.0 / (p.tau0 * a ** 2)
         g = dfdp(U, phi)
+        rot = (-wwp * dphi[1], wwp * dphi[0])
         # U equation: diffusion + 0.5 * dphi/dt substituted by AC RHS
-        # (dolfin/bench3.py:88-93)
+        # (dolfin/bench3.py:88-93) — including the rotation flux so the
+        # substitution stays exact under anisotropy
         src_U = (U - U0) / ctx.dt - 0.5 * inv_tau * g
-        flux_U = (p.D * dU[0] + 0.5 * inv_tau * W2 * dphi[0],
-                  p.D * dU[1] + 0.5 * inv_tau * W2 * dphi[1])
+        flux_U = (p.D * dU[0] + 0.5 * inv_tau * (W2 * dphi[0] + rot[0]),
+                  p.D * dU[1] + 0.5 * inv_tau * (W2 * dphi[1] + rot[1]))
         # phi equation: AC with L = 1/tau, kappa = W^2, dfdeta = -dfdp
         src_p, flux_p = forms.allen_cahn(phi, dphi, phi0, ctx.dt, inv_tau, W2, -g)
+        flux_p = (flux_p[0] + inv_tau * rot[0], flux_p[1] + inv_tau * rot[1])
         return [src_U, src_p], [flux_U, flux_p]
 
     def tfe_density(ctx):
         U, phi = ctx.u
         dphi = ctx.du[1]
-        return f_chem(U, phi) + 0.5 * p.W0 ** 2 * (dphi[0] ** 2 + dphi[1] ** 2)
+        if anisotropy:
+            a, _ = aniso(dphi)
+        else:
+            a = 1.0
+        return f_chem(U, phi) + 0.5 * (p.W0 * a) ** 2 * (dphi[0] ** 2 + dphi[1] ** 2)
 
     return BenchmarkProblem(
         name="bench3",

@@ -29,7 +29,7 @@ def make(nx: int = 64, ny: int = 64, Lx: float = 1.0, Ly: float = 1.0,
         s, fl = forms.poisson(ctx.du[0], f, 1.0)
         return [s], [fl]
 
-    grid = CrossedTriGrid(nx, ny, Lx, Ly)
+    grid = CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to)
 
     def l2_error_density(ctx):
         ue = jnp.sin(jnp.pi * ctx.x) * jnp.sin(2 * jnp.pi * ctx.y)

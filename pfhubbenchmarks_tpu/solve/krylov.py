@@ -9,8 +9,13 @@ convergence flag — needed for solver-failure handling in the Newton loop
 (PETSc: KSP_DIVERGED_ITS => SNES divergence) and for observability.
 
 All control flow is fixed-shape: the GMRES basis lives in a stacked pytree
-with masked classical Gram-Schmidt (one fused dot pass against all slots +
-one reorthogonalization pass — TPU-friendly, numerically ~CGS2).
+with masked classical Gram-Schmidt (one fused dot pass against all slots).
+``gmres`` always adds a reorthogonalization pass (CGS2); ``fgmres`` defaults
+to single-pass CGS for speed as the outer solver of a strong V-cycle
+preconditioner — safe because its convergence test uses the TRUE residual
+recomputed at each restart-cycle end, so orthogonality loss can cost extra
+iterations but can never fake convergence (``reorthogonalize=True`` opts
+into CGS2).
 """
 
 from __future__ import annotations
@@ -240,13 +245,20 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
             y = lax.fori_loop(0, m, back_sub, jnp.zeros(m, dtype))
             xn = tr.add(s["x"], tr.basis_comb(Z, y))
             Vn, Zn, Hn, csn, snn, gn, kn, beta_n = init_cycle(xn)
-            # a restart cycle that improved the residual by <10% is stalled:
-            # quit early instead of burning the full maxiter budget (the
-            # Newton layer treats no-progress solves as dt failures anyway)
-            stalled = res > 0.9 * s["cycle0"]
+            # Convergence is decided on beta_n — the TRUE residual
+            # ||b - A x_n|| recomputed at the cycle end — not on the Givens
+            # recursion estimate `res`, which drifts optimistic when
+            # single-pass Gram-Schmidt loses orthogonality (ADVICE round 1:
+            # an estimate-based `done` could return converged=True while
+            # ||b-Ax|| > tol, feeding Newton's stol acceptance).
+            #
+            # A restart cycle that improved the true residual by <10% is
+            # stalled: quit early instead of burning the full maxiter budget
+            # (the Newton layer treats no-progress solves as dt failures).
+            stalled = beta_n > 0.9 * s["cycle0"]
             return dict(x=xn, V=Vn, Z=Zn, H=Hn, cs=csn, sn=snn, g=gn, k=kn,
-                        it=it, res=res, cycle0=beta_n,
-                        done=conv | (it >= maxiter) | stalled)
+                        it=it, res=beta_n, cycle0=beta_n,
+                        done=(beta_n <= tol) | (it >= maxiter) | stalled)
 
         def continue_cycle(_):
             return dict(x=s["x"], V=V, Z=Z, H=H, cs=cs, sn=sn, g=g, k=k + 1,

@@ -58,6 +58,11 @@ class SolverConfig:
     """
 
     newton_atol: float = 1e-6
+    # SNES-equivalent convergence threshold in OUR residual norm, for the
+    # iteration count fed to the adaptive-dt controller (solve/newton.py).
+    # None = report raw counts. Calibrated with tools/parity_lab.py against
+    # the reference time grids (the committed CSVs encode SNES's decisions).
+    report_atol: float | None = None
     newton_rtol: float = 1e-8       # PETSc SNES default rtol
     newton_stol: float = 1e-8       # PETSc SNES default stol (step-size test)
     newton_max_iters: int = 10

@@ -32,10 +32,12 @@ from pfhubbenchmarks_tpu.solve.krylov import SOLVERS
 
 class NewtonResult(typing.NamedTuple):
     x: typing.Any
-    iters: jnp.ndarray          # Newton iterations performed
+    iters: jnp.ndarray          # Newton iterations (SNES-equivalent count
+                                # when SolverConfig.report_atol is set)
     converged: jnp.ndarray      # bool
     res_norm: jnp.ndarray       # final ||F||
     krylov_iters: jnp.ndarray   # cumulative inner iterations (observability)
+    norm_hist: jnp.ndarray = None  # ||F_k|| per Newton iteration (inf-padded)
 
 
 def _make_line_search(kind: str, res_fn):
@@ -127,12 +129,15 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             w_prev_lp = _cast(w_prev, lowp)
             dt_lp = jnp.asarray(dt, lowp)
 
+        hist0 = jnp.full(cfg.newton_max_iters + 1, jnp.inf,
+                         n0.dtype).at[0].set(n0)
         state0 = dict(
             x=w_guess, F=F0, normF=n0,
             k=jnp.array(0, jnp.int32),
             kiters=jnp.array(0, jnp.int32),
             converged=n0 < cfg.newton_atol,
             failed=~jnp.isfinite(n0),
+            hist=hist0,
         )
 
         def cond(s):
@@ -189,10 +194,25 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             failed = (~jnp.isfinite(nn)) | (nn > cfg.newton_div_tol * n0) | lin_useless
             return dict(x=xn, F=Fn, normF=nn, k=k,
                         kiters=s["kiters"] + sol.iters,
-                        converged=converged, failed=failed)
+                        converged=converged, failed=failed,
+                        hist=s["hist"].at[k].set(nn))
 
         out = lax.while_loop(cond, body, state0)
         converged = out["converged"] & ~out["failed"]
-        return NewtonResult(out["x"], out["k"], converged, out["normF"], out["kiters"])
+        iters = out["k"]
+        if cfg.report_atol is not None:
+            # SNES-equivalent iteration count: the committed reference CSVs
+            # were produced by SNES whose atol=1e-6 test fires at what is
+            # ~report_atol in our identically-assembled residual norm
+            # (calibrated per benchmark with tools/parity_lab.py). The state
+            # is still solved to the tighter newton_atol; only the count fed
+            # to the adaptive-dt controller — and acceptance when the
+            # emulated test passed but ours didn't finish in max_iters —
+            # follow the reference's effective test.
+            hit = out["hist"] < cfg.report_atol
+            iters = jnp.where(hit.any(), jnp.argmax(hit).astype(jnp.int32), iters)
+            converged = converged | (hit.any() & ~out["failed"])
+        return NewtonResult(out["x"], iters, converged, out["normF"],
+                            out["kiters"], out["hist"])
 
     return jax.jit(solve) if jit else solve

@@ -69,13 +69,17 @@ def infer_schedule(times, dt0, dt_min, t0=0.0):
 
             m_grow = fails_from(2.0 * dt_acc)
             m_shrink = fails_from(max(dt_acc * 0.5, dt_min))
-            if m_grow is not None and (m_shrink is None or m_grow <= m_shrink + 2):
-                steps[-1]["grew"] = True
-                steps[-1]["ambiguous"] = m_shrink is not None
-                dt_ctrl = 2.0 * dt_acc
-            elif m_shrink is not None:
+            # grow-with-(m+2)-failures and shrink-with-m-failures are
+            # indistinguishable from the grid alone (first attempts differ by
+            # exactly 4x); prefer the minimal-failure interpretation (SNES
+            # failures are the exception, not the rule) and mark ambiguity.
+            if m_shrink is not None:
                 steps[-1]["grew"] = False
+                steps[-1]["ambiguous"] = True
                 dt_ctrl = max(dt_acc * 0.5, dt_min)
+            elif m_grow is not None:
+                steps[-1]["grew"] = True
+                dt_ctrl = 2.0 * dt_acc
             else:
                 steps[-1]["consistent"] = False
                 dt_ctrl = dt_next_acc
@@ -91,8 +95,9 @@ def main(argv=None):
     ap.add_argument("--no-probe-failures", dest="probe_failures",
                     action="store_false",
                     help="skip solving at implied-failed dts (faster)")
-    ap.add_argument("--dump-state", type=int, default=None, metavar="STEP",
-                    help="save the pre-step state at STEP to .scratch/")
+    ap.add_argument("--dump-state", type=str, default=None, metavar="STEPS",
+                    help="comma-separated steps whose pre-step state to save "
+                         "to .scratch/")
     ap.add_argument("--csv", type=str, default=None,
                     help="also write our on-grid rows to CSV")
     # solver knob overrides
@@ -145,21 +150,43 @@ def main(argv=None):
     newton = runner.newton
     obs_fns = runner.obs_fns
 
+    _newton_rescue = [None]
+
+    def rescue_solve(w, dt_acc):
+        """Converge a step our production config failed on, so the walk can
+        continue on-trajectory. bt line search + a bigger Krylov budget finds
+        the SAME discrete solution (the path differs, the root doesn't)."""
+        if _newton_rescue[0] is None:
+            from pfhubbenchmarks_tpu.solve.newton import make_newton_solver
+
+            cfg = dataclasses.replace(
+                problem.solver, line_search="bt", newton_max_iters=40,
+                krylov_max_iters=1500, report_atol=None)
+            lowp = getattr(problem, "residual_lowp", lambda: None)()
+            _newton_rescue[0] = make_newton_solver(
+                problem.residual(), cfg, problem.precond_builder(),
+                residual_lowp=lowp)
+        return _newton_rescue[0](w, w, jnp.asarray(dt_acc, jnp.float64))
+
     import jax.numpy as jnp
 
+    dump_steps = (set(int(x) for x in args.dump_state.split(","))
+                  if args.dump_state else set())
     w = problem.initial_state()
     mismatches = []
     rows = []
+    hists = []
     print(f"{'step':>4} {'t':>10} {'dt':>9} {'ref':>14} {'ours':>18} verdict")
     for s in sched:
         k, dt_acc = s["step"], s["dt_acc"]
-        if args.dump_state == k:
+        if k in dump_steps:
             path = f".scratch/{args.bench}_state_step{k}.npz"
             np.savez(path, **{f"leaf_{i}": np.asarray(a) for i, a in enumerate(w)},
                      t=s["t"] - dt_acc, dt=dt_acc)
             print(f"  [dumped pre-step state to {path}]")
         probe_notes = []
         fail_match = True
+        rescue_note = ""
         if args.probe_failures and s["n_fail"]:
             # the reference failed at every attempt above dt_acc; do we?
             for dtp in s["attempts"][:-1]:
@@ -168,16 +195,28 @@ def main(argv=None):
                 probe_notes.append(f"dt={dtp:g}:"
                                    f"{'CONV' if ours_conv else 'fail'}"
                                    f"({int(rp.iters)})")
+                hists.append(dict(step=k, dt=dtp, kind="probe_fail",
+                                  hist=np.asarray(rp.norm_hist)))
                 if ours_conv:
                     fail_match = False
         res = newton(w, w, jnp.asarray(dt_acc, jnp.float64))
         niters = int(res.iters)
         conv = bool(res.converged)
+        hists.append(dict(step=k, dt=dt_acc, kind="accept",
+                          grew=s["grew"], amb=s["ambiguous"],
+                          hist=np.asarray(res.norm_hist)))
         if not conv:
-            print(f"{k:4d} {s['t']:10.4f} {dt_acc:9.4g}  OUR SOLVE FAILED "
-                  f"(|F|={float(res.res_norm):.3e}) — trajectory broken")
-            mismatches.append((k, "accepted-dt solve failed"))
-            break
+            rescue = rescue_solve(w, dt_acc)
+            if not bool(rescue.converged):
+                print(f"{k:4d} {s['t']:10.4f} {dt_acc:9.4g}  OUR SOLVE FAILED "
+                      f"(|F|={float(res.res_norm):.3e}), rescue failed too "
+                      f"(|F|={float(rescue.res_norm):.3e}) — trajectory broken")
+                mismatches.append((k, "accepted-dt solve failed; rescue failed"))
+                break
+            mismatches.append((k, "accepted-dt solve failed (walk rescued)"))
+            rescue_note = " RESCUED"
+            res = rescue
+            niters = int(res.iters)
         w = res.x
         obs = [float(obs_fns[c](w)) for c in problem.csv_columns[1:]]
         rows.append([s["t"]] + obs)
@@ -187,6 +226,7 @@ def main(argv=None):
                    + ("(amb)" if s["ambiguous"] else "")
                    + (f"+{s['n_fail']}f" if s["n_fail"] else ""))
         ours_txt = (f"n={niters} {'grow' if ours_grew else 'shrink'}"
+                    + rescue_note
                     + (f" [{' '.join(probe_notes)}]" if probe_notes else ""))
         bad = []
         if s["grew"] is not None and ours_grew != s["grew"]:
@@ -211,6 +251,55 @@ def main(argv=None):
     print(f"steps walked: {len(rows)}/{len(sched)}; mismatches: {len(mismatches)}")
     for k, v in mismatches:
         print(f"  step {k}: {v}")
+
+    # persist norm histories for offline analysis + scan SNES-equivalent atol
+    import json
+
+    os.makedirs(".scratch", exist_ok=True)
+    with open(f".scratch/parity_{args.bench}_hists.json", "w") as f:
+        json.dump([{**{k: v for k, v in h.items() if k != "hist"},
+                    "hist": [float(x) for x in h["hist"]]} for h in hists], f)
+    scan_report(hists, tc.grow_threshold)
+
+
+def scan_report(hists, grow_threshold):
+    """For candidate SNES-equivalent atols, how many reference decisions do
+    the recorded ||F_k|| histories reproduce?"""
+    import numpy as np
+
+    cands = np.geomspace(1e-6, 3e-4, 60)
+    best = None
+    lines = []
+    for A in cands:
+        bad = 0
+        total = 0
+        for h in hists:
+            hist = h["hist"]
+            if h["kind"] == "probe_fail":
+                total += 1
+                if np.nanmin(np.where(np.isinf(hist), np.nan, hist)) < A:
+                    bad += 1          # we'd converge where SNES failed
+            else:
+                if h.get("grew") is None:
+                    continue
+                total += 1
+                hit = hist < A
+                n = int(np.argmax(hit)) if hit.any() else len(hist)
+                grew_em = n < grow_threshold
+                # ref grew (unambiguous) -> need grow; ref shrank (the
+                # minimal-failure reading when ambiguous) -> need shrink
+                if (not hit.any()) or (grew_em != bool(h["grew"])):
+                    bad += 1
+        lines.append((A, bad, total))
+        if best is None or bad < best[1]:
+            best = (A, bad, total)
+    print("\nSNES-equivalent atol scan (candidate, decision mismatches/steps):")
+    prev = None
+    for A, bad, total in lines:
+        if prev != bad:
+            print(f"  atol={A:.3e}  mismatches={bad}/{total}")
+        prev = bad
+    print(f"best: atol={best[0]:.3e} with {best[1]}/{best[2]} mismatches")
 
 
 if __name__ == "__main__":

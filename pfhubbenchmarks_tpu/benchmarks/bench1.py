@@ -76,7 +76,13 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         },
         csv_columns=("time", "total_free_energy", "total_solute"),
         time=TimeConfig(dt0=1e-1, dt_min=1e-2, end_time=1e3, grow_threshold=5),
-        solver=SolverConfig(line_search="basic"),
+        # report_atol: SNES-equivalent convergence threshold in our residual
+        # norm, calibrated with tools/parity_lab.py against the reference
+        # grid (results/bench1_out.csv). Every reference grow/shrink/fail
+        # decision over the matched prefix is consistent with one threshold
+        # in (7.98e-6, 8.57e-5]; the geometric mean is used. The state is
+        # still solved to newton_atol=1e-6.
+        solver=SolverConfig(line_search="basic", report_atol=2.6e-5),
         **overrides,
     )
 

@@ -122,6 +122,13 @@ def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
                     6F/50^2: 26.6 MB — both measured)
     """
     T = _tiled_slab_bytes(grid, dtype_bytes)
+    if kernel == "vcycle":
+        # whole-V-cycle kernel (ops/pallas_vcycle.py): smoothing sweeps run
+        # under fori_loop (one traced body), so the stack is ~one sweep body
+        # at the fine level + persistent level arrays; the lane-padded
+        # coarser levels add ~60% of the fine footprint. Initial estimate,
+        # tightened against measurement on TPU.
+        return (66 * n_fields + 15 * n_fields ** 2) * T * 1.3 < budget
     if kernel == "sweep":
         # Measured sweep-kernel stacks do not fit a clean (F, T) model
         # (3F/100^2: 17.6 MB, 6F/50^2: 26.6 MB, 6F/25^2: 22.4 MB — all OOM;

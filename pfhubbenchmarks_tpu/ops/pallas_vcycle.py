@@ -1,0 +1,221 @@
+"""Whole-V-cycle multigrid preconditioner as ONE Pallas kernel.
+
+Round-1 profiling (ROADMAP perf item 1) showed per-FGMRES-iteration cost on
+PFHub-sized grids is op-count/launch-latency bound: the partially-fused
+V-cycle was ~21 device ops (smoothing kernels + XLA transfer/reduction ops)
+at ~35-40 us apparent latency each. This kernel collapses the ENTIRE V-cycle
+— every level's LMR smoothing, residual re-evaluation, grid transfers, and
+the coarse solve — into a single ``pallas_call``:
+
+- grid transfers run in-kernel as small dense MXU matmuls
+  (ops/transfer_mats.py) — Mosaic rejects the strided slicing the XLA
+  transfers use, which is what blocked this fusion in round 1;
+- coarse-level states are computed in-kernel by matmul injection, so the
+  caller only ships the fine-level linearization state once per Newton step;
+- smoothing sweeps run under ``lax.fori_loop`` so each level contributes ONE
+  traced J.v body regardless of sweep count (the round-1 multi-sweep kernels
+  unrolled sweeps and hit Mosaic's scoped-VMEM stack at >6 sweeps);
+- the J.v at each level is ``jax.jvp`` of the scalar-FMA assembly
+  (ops/pallas_residual._scalar_assembly) traced in-kernel.
+
+Applicable to Dirichlet-free 2D problems whose finest level passes
+``fits_vmem`` (bench1's 100^2 2-field CH being the headline case,
+dolfin/bench1.py). Dirichlet problems keep the partially-fused path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+from pfhubbenchmarks_tpu.ops.pallas_residual import _scalar_assembly, _scatter_refs
+from pfhubbenchmarks_tpu.ops.transfer_mats import TransferMats, build_transfer_mats
+
+# Transfer matrices are kernel INPUTS (Mosaic rejects captured array
+# constants). Pre-transposed forms are shipped so the kernel never
+# transposes. Order must match _mat_list.
+N_MATS = 19
+
+
+def _mat_list(m: TransferMats) -> list[np.ndarray]:
+    return [m.Pyv, m.Pxv.T, m.Ey, m.Ex.T, m.Uy, m.Ux.T, m.Vy, m.Vx.T,
+            m.Pyv.T, m.Pxv, m.Uy.T, m.Ux, m.Ey.T, m.Ex, m.Vy.T, m.Vx,
+            m.Iye, m.Ixe.T, m.oddodd]
+
+
+def _yx(Ay, x, AxT):
+    """Ay @ x @ AxT per field plane (MXU, full f32)."""
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.stack([
+        jnp.dot(jnp.dot(Ay, x[f], precision=hi, preferred_element_type=x.dtype),
+                AxT, precision=hi, preferred_element_type=x.dtype)
+        for f in range(x.shape[0])])
+
+
+class _LevelMats:
+    """Loaded transfer operands for one (fine l, coarse l+1) pair."""
+
+    def __init__(self, vals):
+        (self.Pyv, self.PxvT, self.Ey, self.ExT, self.Uy, self.UxT,
+         self.Vy, self.VxT, self.PyvT, self.Pxv, self.UyT, self.Ux,
+         self.EyT, self.Ex, self.VyT, self.Vx, self.Iye, self.IxeT,
+         self.oddodd) = vals
+
+    def prolong(self, wc):
+        vc, mc = wc
+        vf = (_yx(self.Pyv, vc, self.PxvT) * (1.0 - self.oddodd)
+              + _yx(self.Ey, mc, self.ExT))
+        mf = 0.5 * (_yx(self.Uy, vc, self.UxT) + _yx(self.Vy, mc, self.VxT))
+        return vf, mf
+
+    def restrict(self, wf):
+        vf, mf = wf
+        vc = (_yx(self.PyvT, vf * (1.0 - self.oddodd), self.Pxv)
+              + 0.5 * _yx(self.UyT, mf, self.Ux))
+        mc = _yx(self.EyT, vf, self.Ex) + 0.5 * _yx(self.VyT, mf, self.Vx)
+        return vc, mc
+
+    def inject(self, wf):
+        vf, _ = wf
+        return _yx(self.Iye, vf, self.IxeT), _yx(self.EyT, vf, self.Ex)
+
+
+def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
+                      nu_pre: int = 2, nu_post: int = 2,
+                      coarse_sweeps: int = 24, dtype=jnp.float32,
+                      interpret: bool = False):
+    """Returns ``vcycle(r, w, w0, dt, pinvs) -> z`` (one kernel launch).
+
+    ``r``/``w``/``w0`` are fine-level states ``(v, m)``; ``pinvs`` is a list
+    of per-level node-block inverses ``(pv [F,F,Yv,Xv], pm [F,F,Ym,Xm])``
+    from solve/precond.py (built per Newton iteration — they depend on the
+    Jacobian diagonal, which is assembled with AD outside the kernel).
+    """
+    L = len(grids)
+    F = n_fields
+    residuals = [_scalar_assembly(g, terms, n_fields) for g in grids]
+    mat_arrays = []
+    for l in range(L - 1):
+        mat_arrays += _mat_list(
+            build_transfer_mats(grids[l + 1], grids[l], dtype=np.float32))
+    shapes = [(g.vshape, g.mshape, g.ny, g.nx) for g in grids]
+
+    def kernel(*refs):
+        # refs: r_v, r_m, w_v, w_m, w0_v, w0_m, [pv_l, pm_l]*L,
+        #       [19 transfer mats]*(L-1), dt, out_v, out_m,
+        #       [az_v_l, az_m_l]*L scratch
+        r_v, r_m, w_v, w_m, w0_v, w0_m = refs[:6]
+        pinv = [(refs[6 + 2 * l], refs[7 + 2 * l]) for l in range(L)]
+        base = 6 + 2 * L
+        mats = [_LevelMats([refs[base + N_MATS * l + i][:]
+                            for i in range(N_MATS)])
+                for l in range(L - 1)]
+        base += N_MATS * (L - 1)
+        dt_ref = refs[base]
+        out_v, out_m = refs[base + 1], refs[base + 2]
+        az = [(refs[base + 3 + 2 * l], refs[base + 4 + 2 * l])
+              for l in range(L)]
+        dt = dt_ref[0, 0]
+
+        # coarse-level linearization states by in-kernel injection
+        w_l = [(w_v[:], w_m[:])]
+        w0_l = [(w0_v[:], w0_m[:])]
+        for l in range(L - 1):
+            w_l.append(mats[l].inject(w_l[-1]))
+            w0_l.append(mats[l].inject(w0_l[-1]))
+
+        def Az(l, z):
+            _, ny, nx = shapes[l][1], shapes[l][2], shapes[l][3]
+            _, planes = jax.jvp(
+                lambda u: residuals[l](u, w0_l[l], dt), (w_l[l],), (z,))
+            _scatter_refs(planes, az[l][0], az[l][1], F, shapes[l][2],
+                          shapes[l][3])
+            return az[l][0][:], az[l][1][:]
+
+        def bj(l, r):
+            pv, pm = pinv[l]
+            zv, zm = [], []
+            for i in range(F):
+                av = am = None
+                for j in range(F):
+                    tv = pv[i, j] * r[0][j]
+                    tm = pm[i, j] * r[1][j]
+                    av = tv if av is None else av + tv
+                    am = tm if am is None else am + tm
+                zv.append(av)
+                zm.append(am)
+            return jnp.stack(zv), jnp.stack(zm)
+
+        def sweeps(l, x, r, n):
+            """n LMR sweeps at level l; ONE traced body via fori_loop."""
+
+            def body(_, carry):
+                x, r = carry
+                z = bj(l, r)
+                Av, Am = Az(l, z)
+                num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
+                den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
+                alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                                  0.0)
+                x = (x[0] + alpha * z[0], x[1] + alpha * z[1])
+                r = (r[0] - alpha * Av, r[1] - alpha * Am)
+                return x, r
+
+            return lax.fori_loop(0, n, body, (x, r))
+
+        def zeros(l):
+            (Yv, Xv), (Ym, Xm) = shapes[l][0], shapes[l][1]
+            return (jnp.zeros((F, Yv, Xv), dtype), jnp.zeros((F, Ym, Xm), dtype))
+
+        def vcycle(l, b):
+            if l == L - 1:
+                x, _ = sweeps(l, zeros(l), b, coarse_sweeps)
+                return x
+            x, r = sweeps(l, zeros(l), b, nu_pre)
+            bc = mats[l].restrict(r)
+            xc = vcycle(l + 1, bc)
+            pf = mats[l].prolong(xc)
+            x = (x[0] + pf[0], x[1] + pf[1])
+            Av, Am = Az(l, x)
+            r = (b[0] - Av, b[1] - Am)
+            x, _ = sweeps(l, x, r, nu_post)
+            return x
+
+        z = vcycle(0, (r_v[:], r_m[:]))
+        out_v[:] = z[0]
+        out_m[:] = z[1]
+
+    (Yv, Xv), (Ym, Xm) = shapes[0][0], shapes[0][1]
+    scratch = []
+    for (yv, xv), (ym, xm), _, _ in shapes:
+        scratch += [pltpu.VMEM((F, yv, xv), dtype),
+                    pltpu.VMEM((F, ym, xm), dtype)]
+    n_vmem_in = 6 + 2 * L + N_MATS * (L - 1)
+    mat_consts = [jnp.asarray(a, dtype) for a in mat_arrays]
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                   jax.ShapeDtypeStruct((F, Ym, Xm), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_in
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+    def apply(r, w, w0, dt, pinvs):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        flat_p = [a for pv_pm in pinvs for a in pv_pm]
+        return call(r[0], r[1], w[0], w[1], w0[0], w0[1], *flat_p,
+                    *mat_consts, dt_arr)
+
+    return apply

@@ -121,7 +121,41 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     Rs = [restrict(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     injs = [inject_state(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
 
+    # whole-V-cycle fusion: ONE pallas_call per preconditioner application
+    # (ops/pallas_vcycle.py) — the round-2 answer to ROADMAP perf item 1.
+    # Gated on: Dirichlet-free (J.v row replacement isn't done in-kernel),
+    # no coordinate-dependent terms, >=2 levels, fine level within the
+    # Mosaic scoped-VMEM envelope.
+    fused = None
+    if (use_pallas and not needs_coords and len(grids) >= 2
+            and all(not b for b in level_bcs)):
+        from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
+        from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
+
+        if fits_vmem(grids[0], n_fields, kernel="vcycle"):
+            fused = make_fused_vcycle(
+                grids, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
+                coarse_sweeps=coarse_sweeps, dtype=precond_dtype)
+
     def build(w, w0, dt):
+        if fused is not None:
+            wf = _cast(w, precond_dtype)
+            w0f = _cast(w0, precond_dtype)
+            dtf = jnp.asarray(dt, precond_dtype)
+            pinvs = []
+            wl, w0l = wf, w0f
+            for l in range(len(grids)):
+                pinvs.append(bj_builders[l](wl, w0l, dtf).pinv_planes)
+                if l + 1 < len(grids):
+                    wl = injs[l](wl)
+                    w0l = injs[l](w0l)
+
+            def Minv_fused(r):
+                z = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
+                return _cast(z, dtype)
+
+            return Minv_fused
+
         ops = []
         sweep_fns = []
         wl = _cast(w, precond_dtype)

@@ -1,0 +1,55 @@
+"""The fused whole-V-cycle kernel must reproduce the XLA V-cycle exactly
+(same smoothing, transfers, and coarse solve — only the lowering differs).
+Runs the kernel in interpreter mode so the test works on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pfhubbenchmarks_tpu.benchmarks.bench1 import make
+from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
+from pfhubbenchmarks_tpu.solve.gmg import build_hierarchy, make_gmg
+from pfhubbenchmarks_tpu.solve.precond import make_block_jacobi
+from pfhubbenchmarks_tpu.solve.transfer import inject_state
+
+
+def test_fused_vcycle_matches_xla_vcycle():
+    problem = make(nx=16, ny=16)
+    g = problem.grid
+    F = problem.n_fields
+    nu_pre, nu_post, coarse = 2, 2, 8
+
+    xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         nu_pre=nu_pre, nu_post=nu_post, coarse_sweeps=coarse)
+
+    grids = build_hierarchy(g)
+    assert len(grids) == 2
+    fused = make_fused_vcycle(grids, problem.terms, F, nu_pre=nu_pre,
+                              nu_post=nu_post, coarse_sweeps=coarse,
+                              dtype=jnp.float32, interpret=True)
+
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+
+    rng = np.random.default_rng(0)
+    r_v = np.zeros((F,) + g.vshape, np.float32)
+    r_m = np.zeros((F,) + g.mshape, np.float32)
+    r_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    r = (jnp.asarray(r_v), jnp.asarray(r_m))
+
+    z_xla = xla_build(w, w, dt)(r)
+
+    pinvs = []
+    wl = w
+    for l, gl in enumerate(grids):
+        pinvs.append(make_block_jacobi(gl, problem.terms, F,
+                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
+        if l + 1 < len(grids):
+            wl = inject_state(grids[l + 1], grids[l])(wl)
+    z_fused = fused(r, w, w, dt, pinvs)
+
+    # identical math modulo f32 op-order noise in matmul transfers/reductions
+    for a, b in zip(z_fused, z_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)

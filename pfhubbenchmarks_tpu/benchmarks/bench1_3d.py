@@ -24,7 +24,7 @@ from pfhubbenchmarks_tpu.solve.precond import make_block_jacobi3d
 
 @dataclasses.dataclass
 class Benchmark3DProblem:
-    """3D analog of BenchmarkProblem (single vertex grid, no Dirichlet)."""
+    """3D analog of BenchmarkProblem (single vertex grid)."""
 
     name: str
     grid: TetGrid
@@ -35,6 +35,9 @@ class Benchmark3DProblem:
     csv_columns: tuple
     time: TimeConfig
     solver: SolverConfig
+    # (field, face, fn(c1, c2)) specs -> DirichletBC3D (see fem/assembly3d.py)
+    dirichlet_spec: tuple = ()
+    needs_coords: bool = False
     dtype: type = jnp.float64
     abort_condition: object = None
     custom_observables: dict = dataclasses.field(default_factory=dict)
@@ -43,12 +46,27 @@ class Benchmark3DProblem:
     def n_fields(self) -> int:
         return len(self.field_names)
 
+    def dirichlet_for(self, grid):
+        from pfhubbenchmarks_tpu.fem.assembly3d import DirichletBC3D
+
+        return tuple(DirichletBC3D.make(grid, f, face, fn)
+                     for (f, face, fn) in self.dirichlet_spec)
+
+    @property
+    def dirichlet(self):
+        return self.dirichlet_for(self.grid)
+
     def initial_state(self):
         (v,) = self.grid.interpolate(self.ic_fns)
-        return (jnp.asarray(v, self.dtype),)
+        v = jnp.asarray(v, self.dtype)
+        for bc in self.dirichlet:
+            v = bc.apply_value(v)
+        return (v,)
 
     def residual(self, dtype=None):
         return make_residual3d(self.grid, self.terms, self.n_fields,
+                               dirichlet=self.dirichlet,
+                               needs_coords=self.needs_coords,
                                dtype=dtype or self.dtype)
 
     @property
@@ -64,6 +82,10 @@ class Benchmark3DProblem:
     def precond_builder(self):
         kry_dtype = jnp.float32 if self.mixed_precision else self.dtype
         if self.solver.precond == "gmg":
+            if self.dirichlet_spec:
+                raise NotImplementedError(
+                    "3D GMG has no Dirichlet coarse-level machinery yet; "
+                    "use precond='block_jacobi' for 3D Dirichlet problems")
             from pfhubbenchmarks_tpu.solve.gmg3d import make_gmg3d
 
             s = self.solver
@@ -73,11 +95,16 @@ class Benchmark3DProblem:
                               coarse_sweeps=s.gmg_coarse_sweeps,
                               max_levels=s.gmg_max_levels)
         return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
-                                   dtype=kry_dtype)
+                                   dirichlet=self.dirichlet, dtype=kry_dtype,
+                                   needs_coords=self.needs_coords)
 
     def observable_fns(self):
-        return {name: make_functional3d(self.grid, density, dtype=self.dtype)
-                for name, density in self.observables.items()}
+        out = {name: make_functional3d(self.grid, density,
+                                       needs_coords=self.needs_coords,
+                                       dtype=self.dtype)
+               for name, density in self.observables.items()}
+        out.update(self.custom_observables)
+        return out
 
 
 def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,

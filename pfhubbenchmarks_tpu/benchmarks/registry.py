@@ -22,6 +22,7 @@ _BENCHMARKS = {
     "bench1_3d": "pfhubbenchmarks_tpu.benchmarks.bench1_3d",
     "elast": "pfhubbenchmarks_tpu.benchmarks.elast",
     "poisson": "pfhubbenchmarks_tpu.benchmarks.poisson",
+    "poisson3d": "pfhubbenchmarks_tpu.benchmarks.poisson3d",
 }
 
 
@@ -43,6 +44,7 @@ def main(name: str, argv=None) -> None:
     ap.add_argument("--out", type=str, default=f"results/{name}_out.csv")
     ap.add_argument("--nx", type=int, default=None)
     ap.add_argument("--ny", type=int, default=None)
+    ap.add_argument("--nz", type=int, default=None, help="3D benchmarks only")
     ap.add_argument("--f32", action="store_true", help="float32 state (perf mode)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--checkpoint", type=str, default=None,
@@ -68,6 +70,8 @@ def main(name: str, argv=None) -> None:
         kwargs["nx"] = args.nx
     if args.ny:
         kwargs["ny"] = args.ny
+    if args.nz:
+        kwargs["nz"] = args.nz
     if args.f32:
         import jax.numpy as jnp
 

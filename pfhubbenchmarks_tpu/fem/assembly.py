@@ -117,6 +117,7 @@ class QPContext:
     dt: jnp.ndarray | float | None
     x: jnp.ndarray | None = None   # [4, nq, ny, nx] global coords (optional)
     y: jnp.ndarray | None = None
+    z: jnp.ndarray | None = None   # 3D only ([6, nq, nz, ny, nx])
 
 
 def _eval_qp(tab_Bq, tab_Gs, loc):

@@ -40,6 +40,7 @@ class Tabulation3D:
     Bq: np.ndarray   # [6, nq, 8]
     Gs: np.ndarray   # [6, 8, 3]
     wq: np.ndarray   # [6, nq]
+    xq: np.ndarray   # [6, nq, 3] cell-local quadrature point coords
 
     @property
     def nq(self) -> int:
@@ -51,6 +52,7 @@ def tabulate3d(hx: float, hy: float, hz: float, rule: TetRule) -> Tabulation3D:
     Bq = np.zeros((6, nq, 8))
     Gs = np.zeros((6, 8, 3))
     wq = np.zeros((6, nq))
+    xq = np.zeros((6, nq, 3))
     lam = np.concatenate(
         [1.0 - rule.points.sum(axis=1, keepdims=True), rule.points], axis=1)  # [nq, 4]
     grad_ref = np.array([[-1.0, -1.0, -1.0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
@@ -65,7 +67,8 @@ def tabulate3d(hx: float, hy: float, hz: float, rule: TetRule) -> Tabulation3D:
             Bq[t, :, slots[k]] = lam[:, k]
             Gs[t, slots[k], :] = JinvT @ grad_ref[k]
         wq[t] = rule.weights * abs(detJ)
-    return Tabulation3D(Bq=Bq, Gs=Gs, wq=wq)
+        xq[t] = lam @ v  # barycentric combo of physical tet vertices
+    return Tabulation3D(Bq=Bq, Gs=Gs, wq=wq, xq=xq)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -108,6 +111,23 @@ class TetGrid:
 
     def tab(self) -> Tabulation3D:
         return tabulate3d(self.hx, self.hy, self.hz, get_tet_rule(self.rule_name))
+
+    def qpoint_coords(self):
+        """Global (x, y, z) of all quadrature points, each [6, nq, nz, ny, nx].
+
+        3D analog of CrossedTriGrid.qpoint_coords (fem/grid.py:202); used by
+        coordinate-dependent forms (manufactured forcing, poisson3d)."""
+        tab = self.tab()
+        full = tab.wq.shape + (self.nz, self.ny, self.nx)
+        ox = np.arange(self.nx) * self.hx
+        oy = np.arange(self.ny) * self.hy
+        oz = np.arange(self.nz) * self.hz
+        gx = tab.xq[..., 0][:, :, None, None, None] + ox[None, None, None, None, :]
+        gy = tab.xq[..., 1][:, :, None, None, None] + oy[None, None, None, :, None]
+        gz = tab.xq[..., 2][:, :, None, None, None] + oz[None, None, :, None, None]
+        return (np.broadcast_to(gx, full).copy(),
+                np.broadcast_to(gy, full).copy(),
+                np.broadcast_to(gz, full).copy())
 
     def vertex_coords(self):
         z, y, x = np.meshgrid(np.arange(self.nz + 1) * self.hz,

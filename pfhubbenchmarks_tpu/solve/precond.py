@@ -41,6 +41,7 @@ def _pointwise_eval(terms, u, dus, u0, dt, shape, dim=2, needs_coords=False):
         dt=dt,
         x=0.0 if needs_coords else None,
         y=0.0 if needs_coords else None,
+        z=0.0 if (needs_coords and dim == 3) else None,
     )
     s, f = terms(ctx)
     b = lambda z: jnp.broadcast_to(z, shape[1:])
@@ -150,7 +151,8 @@ def make_block_jacobi(grid: CrossedTriGrid, terms, n_fields: int, dirichlet=(),
     return build
 
 
-def make_block_jacobi3d(grid, terms, n_fields: int, dtype=jnp.float64):
+def make_block_jacobi3d(grid, terms, n_fields: int, dirichlet=(),
+                        dtype=jnp.float64, needs_coords: bool = False):
     """3D single-grid variant of the pointwise block-Jacobi preconditioner."""
     d = grid.node_diagonals()
     Z, Y, X = grid.vshape
@@ -174,7 +176,7 @@ def make_block_jacobi3d(grid, terms, n_fields: int, dtype=jnp.float64):
 
         def f(uu, dx, dy, dz):
             return _pointwise_eval(terms, uu, (dx, dy, dz), u0_nodal, dt,
-                                   shape, dim=3)
+                                   shape, dim=3, needs_coords=needs_coords)
 
         cols = []
         for j in range(n_fields):
@@ -193,6 +195,17 @@ def make_block_jacobi3d(grid, terms, n_fields: int, dtype=jnp.float64):
                 col = col + t_d[1 + ax] * stiff_d[ax]
             cols.append(col)
         P = jnp.moveaxis(jnp.stack(cols, axis=-1), 0, -2)  # [Z, Y, X, F, F]
+        # Dirichlet rows are identity (residual row is u - g)
+        eye = jnp.eye(n_fields, dtype=P.dtype)
+        for bc in dirichlet:
+            row, f_, i = eye[bc.field], bc.field, bc.index
+            ax = bc.face[0]
+            if ax == "x":
+                P = P.at[:, :, i, f_, :].set(row)
+            elif ax == "y":
+                P = P.at[:, i, :, f_, :].set(row)
+            else:
+                P = P.at[i, :, :, f_, :].set(row)
 
         n = n_fields
         aug = jnp.concatenate(

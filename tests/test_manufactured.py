@@ -64,6 +64,72 @@ def test_poisson_manufactured_converges_second_order():
         assert 1.8 < r < 2.3, (errs, rates)
 
 
+def _solve_poisson3d(n):
+    """The reference's 3D validation (dolfinx/poisson3d.py:90): -lapl(u) = f
+    on the unit cube, f = sin(2 pi x) sin(3 pi y) sin(4 pi z), zero Dirichlet
+    on all six faces -> exact u = f / (29 pi^2)."""
+    from pfhubbenchmarks_tpu.benchmarks.poisson3d import make
+    from pfhubbenchmarks_tpu.timeloop import Runner
+
+    problem = make(nx=n, ny=n, nz=n)
+    runner = Runner(problem)
+    res = runner.newton(problem.initial_state(), problem.initial_state(),
+                        jnp.asarray(1.0, jnp.float64))
+    assert bool(res.converged)
+    l2 = problem.observable_fns()["l2_error_sq"](res.x)
+    return float(jnp.sqrt(l2))
+
+
+def test_poisson3d_manufactured_converges_second_order():
+    # the sin(4 pi z) forcing needs ~12 cells/axis to enter the asymptotic
+    # range (measured rates: 1.35 @ 6->12, 1.80 @ 12->24, 1.88 @ 16->32)
+    errs = [_solve_poisson3d(n) for n in (12, 24)]
+    rate = np.log2(errs[0] / errs[1])
+    assert errs[-1] < 1e-4, errs
+    assert 1.7 < rate < 2.4, (errs, rate)
+
+
+def test_dirichlet3d_nonzero_faces_exact_for_linear():
+    """P1 reproduces a harmonic linear field exactly; exercises nonzero g on
+    every face orientation of DirichletBC3D."""
+    from pfhubbenchmarks_tpu.fem.assembly3d import (
+        DirichletBC3D, make_residual3d)
+    from pfhubbenchmarks_tpu.fem.grid3d import TetGrid
+    from pfhubbenchmarks_tpu.solve.newton import make_newton_solver
+    from pfhubbenchmarks_tpu.solve.precond import make_block_jacobi3d
+
+    n = 6
+    grid = TetGrid(n, n, n, 1.0, 1.0, 1.0)
+    lin = lambda x, y, z: 1.0 + 2.0 * x + 3.0 * y + 4.0 * z
+    face_fns = {
+        "x0": lambda y, z: lin(0.0, y, z), "x1": lambda y, z: lin(1.0, y, z),
+        "y0": lambda x, z: lin(x, 0.0, z), "y1": lambda x, z: lin(x, 1.0, z),
+        "z0": lambda x, y: lin(x, y, 0.0), "z1": lambda x, y: lin(x, y, 1.0),
+    }
+    bcs = tuple(DirichletBC3D.make(grid, 0, face, fn)
+                for face, fn in face_fns.items())
+
+    def terms(ctx):
+        s, fl = forms.poisson(ctx.du[0], 0.0, 1.0)
+        return [s], [fl]
+
+    residual = make_residual3d(grid, terms, 1, dirichlet=bcs)
+    pre = make_block_jacobi3d(grid, terms, 1, dirichlet=bcs)
+    cfg = SolverConfig(newton_atol=1e-12, krylov_rtol=1e-11,
+                       krylov_max_iters=2000, mixed_precision=False)
+    solve = make_newton_solver(residual, cfg, pre)
+    w0 = grid.interpolate([lambda x, y, z: 0.0 * x])
+    w0 = (jnp.asarray(w0[0]),)
+    for bc in bcs:
+        w0 = (bc.apply_value(w0[0]),)
+    res = solve(w0, w0, 1.0)
+    assert bool(res.converged)
+    x, y, z = grid.vertex_coords()
+    err = np.abs(np.asarray(res.x[0][0, : n + 1, : n + 1, : n + 1])
+                 - lin(x, y, z)).max()
+    assert err < 1e-8, err
+
+
 def test_nonlinear_manufactured():
     """-lapl(u) + u^3 = f, u = cos(pi x) cos(pi y), pure no-flux BCs
     (the nl.py-style nonlinear solver smoke test with an exact answer)."""

@@ -49,6 +49,25 @@ def main() -> None:
     wall = time.time() - t0
 
     rows = result.rows
+    # per-phase attribution (VERDICT r1 item 8): quantifies the
+    # latency-vs-FLOP balance round over round. solve_s is device time inside
+    # Newton dispatches; host_s is everything else (adaptive-dt control,
+    # Python loop, host<->device latency under the axon tunnel).
+    stats = result.stats
+    n_newton = sum(s.newton_iters for s in stats)
+    n_krylov = sum(s.krylov_iters for s in stats)
+    n_attempts = len(stats) + sum(s.retries for s in stats)
+    solve_s = sum(s.wall for s in stats)
+    breakdown = {
+        "steps": len(stats),
+        "solve_attempts": n_attempts,
+        "newton_iters": n_newton,
+        "krylov_iters": n_krylov,
+        "solve_s": round(solve_s, 3),
+        "host_s": round(wall - solve_s, 3),
+        "ms_per_krylov_iter": round(1e3 * solve_s / max(n_krylov, 1), 3),
+        "ms_per_dispatch": round(1e3 * solve_s / max(n_attempts, 1), 2),
+    }
     out = {
         "metric": "bench1_wall_clock_to_final_time",
         "value": round(wall, 3),
@@ -72,6 +91,7 @@ def main() -> None:
         interp = np.interp(ref[sel, 0], rows[:, 0], rows[:, 1])
         out["tfe_relerr_interp"] = float(
             (np.abs(interp - ref[sel, 1]) / ref[sel, 1]).max())
+    out["breakdown"] = breakdown
     out["steps"] = int(len(rows))
     out["final_time"] = float(rows[-1, 0])
     out["solute_drift_rel"] = float(

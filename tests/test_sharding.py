@@ -61,6 +61,82 @@ def test_newton_step_sharded_matches_single(mesh):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_bench2_six_field_newton_sharded_matches_single(mesh):
+    """6-field coupled system under SPMD (VERDICT r1 weak item 6)."""
+    my, mx = mesh.devices.shape
+    problem = get_benchmark("bench2", nx=16, ny=16, pad_to=(my, mx))
+    newton = make_newton_solver(problem.residual(), problem.solver,
+                                problem.precond_builder(), jit=False,
+                                residual_lowp=problem.residual_lowp())
+    w = problem.initial_state()
+    single = jax.jit(newton)(w, w, 0.05)
+    assert bool(single.converged)
+
+    s = state_sharding(mesh)
+    ws = shard_state(w, mesh)
+    shard = jax.jit(newton, in_shardings=((s, s), (s, s), None))(ws, ws, 0.05)
+    assert int(single.iters) == int(shard.iters)
+    np.testing.assert_allclose(np.asarray(shard.x[0]), np.asarray(single.x[0]),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_bench6_dirichlet_rows_sharded_match_single(mesh):
+    """Dirichlet boundary rows land on edge shards; u - g row replacement
+    must survive partitioning (ghost/BC interplay the reference handles in
+    dolfinx/pfbase/pde_problems.py:150-162)."""
+    my, mx = mesh.devices.shape
+    problem = get_benchmark("bench6", nx=16, ny=16, pad_to=(my, mx))
+    res_fn = problem.residual()
+    w = problem.initial_state()
+    s = state_sharding(mesh)
+    ws = shard_state(w, mesh)
+    r_single = jax.jit(res_fn)(w, w, 0.01)
+    r_shard = jax.jit(res_fn, in_shardings=((s, s), (s, s), None))(ws, ws, 0.01)
+    np.testing.assert_allclose(np.asarray(r_shard[0]), np.asarray(r_single[0]),
+                               rtol=1e-12, atol=1e-13)
+
+    newton = make_newton_solver(res_fn, problem.solver,
+                                problem.precond_builder(), jit=False,
+                                residual_lowp=problem.residual_lowp())
+    single = jax.jit(newton)(w, w, 0.01)
+    assert bool(single.converged)
+    shard = jax.jit(newton, in_shardings=((s, s), (s, s), None))(ws, ws, 0.01)
+    assert int(single.iters) == int(shard.iters)
+    np.testing.assert_allclose(np.asarray(shard.x[0]), np.asarray(single.x[0]),
+                               rtol=1e-9, atol=1e-11)
+    # the Dirichlet rows themselves: phi(left)=0, phi(right)=sin(y/7)
+    grid = problem.grid
+    # boundary rows satisfy u = g to Krylov accuracy (not machine zero:
+    # the Dirichlet residual rows are solved iteratively like any other)
+    phi = np.asarray(shard.x[0])[2, : grid.ny + 1, :]
+    np.testing.assert_allclose(phi[:, 0], 0.0, atol=1e-8)
+    yy = np.arange(grid.ny + 1) * grid.hy
+    np.testing.assert_allclose(phi[:, grid.nx], np.sin(yy / 7.0), atol=1e-8)
+
+
+def test_timeloop_multistep_sharded_matches_single(mesh):
+    """Five adaptive steps of the production Runner with sharded state must
+    reproduce the single-device trajectory (dt decisions included)."""
+    from pfhubbenchmarks_tpu import timeloop
+
+    my, mx = mesh.devices.shape
+    problem = _problem(mesh)
+    runner = timeloop.Runner(problem)
+    single = runner.run(max_steps=5, verbose=False)
+
+    ws = shard_state(problem.initial_state(), mesh)
+    shard = runner.run(max_steps=5, verbose=False, state0=ws)
+    assert [s.dt for s in shard.stats] == [s.dt for s in single.stats]
+    assert [s.newton_iters for s in shard.stats] == \
+        [s.newton_iters for s in single.stats]
+    np.testing.assert_allclose(shard.rows, single.rows, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(shard.state[0]),
+                               np.asarray(single.state[0]),
+                               rtol=1e-9, atol=1e-11)
+    # state stayed sharded across the whole loop (no silent gather-back)
+    assert not shard.state[0].sharding.is_fully_replicated
+
+
 def test_observables_sharded_match(mesh):
     problem = _problem(mesh)
     obs = problem.observable_fns()

@@ -1,0 +1,73 @@
+"""Full-trajectory regression check: committed CSVs vs the reference's.
+
+Compares every results/bench*_out.csv against /root/reference/results/ at
+curve level — matched-time-prefix length, on-prefix TFE relative error, and
+TFE interpolated onto the reference time grid (robust to adaptive-dt row
+misalignment). This is the opt-in long-horizon check the unit-test goldens
+(tests/test_golden.py, first rows only) cannot afford in CI; run it after
+regenerating any committed benchmark CSV.
+
+Usage: python tools/check_trajectories.py [bench1 bench2 ...]
+Exit code 1 if any benchmark regresses past the recorded bounds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REF = "/root/reference/results"
+OURS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "results")
+
+# regression bounds: (min matched rows, max interp TFE rel-err) per benchmark,
+# set to the best committed state — tighten as parity work lands
+BOUNDS = {
+    "bench1": (21, 3e-3),
+    "bench2": (28, 3e-2),
+    "bench3": (14, 2e-4),
+    "bench6": (6, 2e-3),
+}
+
+
+def compare(name: str):
+    ours = np.loadtxt(f"{OURS}/{name}_out.csv", delimiter=",", skiprows=1)
+    ref = np.loadtxt(f"{REF}/{name}_out.csv", delimiter=",", skiprows=1)
+    n = min(len(ours), len(ref))
+    match = np.isclose(ours[:n, 0], ref[:n, 0], rtol=1e-9)
+    k = int(np.argmin(match)) if not match.all() else n
+    prefix_err = (np.abs(ours[:k, 1] - ref[:k, 1]) / np.abs(ref[:k, 1])).max() \
+        if k else np.inf
+    tmax = min(ours[-1, 0], ref[-1, 0])
+    sel = ref[:, 0] <= tmax
+    interp = np.interp(ref[sel, 0], ours[:, 0], ours[:, 1])
+    interp_err = (np.abs(interp - ref[sel, 1]) / np.abs(ref[sel, 1])).max()
+    return dict(rows=len(ours), ref_rows=len(ref), matched=k,
+                prefix_relerr=float(prefix_err),
+                interp_relerr=float(interp_err))
+
+
+def main(argv=None):
+    names = (argv or sys.argv[1:]) or sorted(BOUNDS)
+    bad = []
+    print(f"{'bench':8} {'rows':>9} {'matched':>8} {'prefix_err':>11} "
+          f"{'interp_err':>11}  verdict")
+    for name in names:
+        r = compare(name)
+        min_rows, max_err = BOUNDS.get(name, (0, np.inf))
+        ok = r["matched"] >= min_rows and r["interp_relerr"] <= max_err
+        if not ok:
+            bad.append(name)
+        print(f"{name:8} {r['rows']:>4}/{r['ref_rows']:<4} {r['matched']:>8} "
+              f"{r['prefix_relerr']:>11.3e} {r['interp_relerr']:>11.3e}  "
+              f"{'ok' if ok else 'REGRESSED'}")
+    if bad:
+        print(f"regressions: {bad}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

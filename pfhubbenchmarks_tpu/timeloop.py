@@ -82,9 +82,86 @@ class Runner:
             return res, tuple(obs[c](res.x) for c in cols)
 
         self.step = jax.jit(step)
+        self._fused = {}
 
     def run(self, **kwargs) -> "RunResult":
         return run(self.problem, _runner=self, **kwargs)
+
+    def run_fused(self, **kwargs) -> "RunResult":
+        return run_fused(self.problem, _runner=self, **kwargs)
+
+    def fused_drive(self, max_rows: int, max_retries_at_dt_min: int):
+        """Compiled whole-run driver (see run_fused); cached per row-buffer
+        size so warm-up and timed runs share one executable. ``end_time``
+        is a runtime argument, not baked into the trace."""
+        key = (max_rows, max_retries_at_dt_min)
+        if key in self._fused:
+            return self._fused[key]
+
+        import jax.numpy as jnp
+
+        problem = self.problem
+        tc = problem.time
+        newton = self.newton
+        obs_fns = self.obs_fns
+        cols = problem.csv_columns[1:]
+        ncols = 1 + len(cols)
+        ftype = jnp.float64 if problem.dtype == jnp.float64 else jnp.float32
+
+        def cond(s):
+            return ((s["t"] < s["end_time"] + _EPS)
+                    & (s["nrows"] < max_rows)
+                    & (s["fails_at_min"] <= max_retries_at_dt_min))
+
+        def body(s):
+            res = newton(s["w"], s["w"], s["dt"])
+            conv = res.converged
+            t_new = s["t"] + s["dt"]
+            row = jnp.concatenate([
+                jnp.reshape(t_new.astype(ftype), (1,)),
+                jnp.stack([obs_fns[c](res.x).astype(ftype) for c in cols])])
+            rows = jnp.where(conv,
+                             s["rows"].at[s["nrows"]].set(row), s["rows"])
+            w = jax.tree.map(lambda a, b: jnp.where(conv, a, b), res.x, s["w"])
+            grow = res.iters < tc.grow_threshold
+            dt_ok = jnp.where(grow, 2.0 * s["dt"],
+                              jnp.maximum(0.5 * s["dt"], tc.dt_min))
+            dt_fail = jnp.maximum(0.5 * s["dt"], tc.dt_min)
+            at_min = s["dt"] <= tc.dt_min * (1 + 1e-12)
+            return dict(
+                s,
+                w=w,
+                t=jnp.where(conv, t_new, s["t"]),
+                dt=jnp.where(conv, dt_ok, dt_fail),
+                rows=rows,
+                nrows=s["nrows"] + conv.astype(jnp.int32),
+                fails_at_min=jnp.where(conv, 0,
+                                       s["fails_at_min"]
+                                       + (at_min & ~conv).astype(jnp.int32)),
+                attempts=s["attempts"] + 1,
+                # accepted attempts only, matching the host loop's StepStats
+                # (failed attempts go unrecorded there too)
+                newton_iters=s["newton_iters"]
+                + jnp.where(conv, res.iters, 0),
+                krylov_iters=s["krylov_iters"]
+                + jnp.where(conv, res.krylov_iters, 0),
+            )
+
+        @jax.jit
+        def drive(w, t, dt, end_time):
+            init = dict(
+                w=w, t=t, dt=dt, end_time=end_time,
+                rows=jnp.zeros((max_rows, ncols), ftype),
+                nrows=jnp.array(0, jnp.int32),
+                fails_at_min=jnp.array(0, jnp.int32),
+                attempts=jnp.array(0, jnp.int32),
+                newton_iters=jnp.array(0, jnp.int32),
+                krylov_iters=jnp.array(0, jnp.int32),
+            )
+            return jax.lax.while_loop(cond, body, init)
+
+        self._fused[key] = drive
+        return drive
 
 
 def run(problem: BenchmarkProblem, *, end_time: float | None = None,
@@ -180,5 +257,59 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                 break
 
     return RunResult(rows=np.asarray(rows), stats=stats, state=w,
+                     wall_total=_time.time() - wall_start,
+                     columns=problem.csv_columns)
+
+
+def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
+              max_rows: int = 512, max_retries_at_dt_min: int = 60,
+              state0=None, t0: float | None = None, dt0: float | None = None,
+              _runner: "Runner | None" = None) -> RunResult:
+    """The whole adaptive run as ONE device dispatch.
+
+    The host loop (``run``) costs one dispatch per solve attempt plus
+    host-side control between them — measured at ~46% of bench1 wall-clock
+    under the high-latency tunnel (BENCH breakdown: solve_s 8.2 / host_s
+    7.1). Here the reference's dt controller (dolfin/bench1.py:179-183)
+    becomes device arithmetic inside a ``lax.while_loop``: attempt a step,
+    on convergence append (t, observables) into a fixed ``max_rows`` row
+    buffer and grow/shrink dt, on failure halve dt — identical decisions,
+    zero host round-trips. Per-step host hooks (checkpoints, stats JSONL,
+    field writers) and ``abort_condition`` need the host loop; callers with
+    those use ``run``.
+    """
+    import jax.numpy as jnp
+
+    tc = problem.time
+    if problem.abort_condition is not None:
+        raise ValueError("run_fused does not support abort_condition; "
+                         "use timeloop.run")
+    end_time = tc.end_time if end_time is None else end_time
+    runner = _runner or Runner(problem)
+    drive = runner.fused_drive(max_rows, max_retries_at_dt_min)
+
+    w_init = problem.initial_state() if state0 is None else state0
+    t_init = tc.t0 if t0 is None else t0
+    dt_init = tc.dt0 if dt0 is None else dt0
+
+    wall_start = _time.time()
+    out = drive(w_init, jnp.asarray(t_init, jnp.float64),
+                jnp.asarray(dt_init, jnp.float64),
+                jnp.asarray(end_time, jnp.float64))
+    n = int(out["nrows"])
+    if int(out["fails_at_min"]) > max_retries_at_dt_min:
+        raise RuntimeError(
+            f"{problem.name}: fused run stalled at dt_min={tc.dt_min} "
+            f"after {int(out['fails_at_min'])} failures")
+    rows = np.asarray(out["rows"])[:n]
+    # aggregate stats in one StepStats-shaped record (per-step detail is the
+    # host loop's job; the fused loop reports totals)
+    agg = StepStats(step=n, t=float(out["t"]), dt=float(out["dt"]),
+                    newton_iters=int(out["newton_iters"]),
+                    krylov_iters=int(out["krylov_iters"]),
+                    retries=int(out["attempts"]) - n,
+                    res_norm=float("nan"),
+                    wall=_time.time() - wall_start)
+    return RunResult(rows=rows, stats=[agg], state=out["w"],
                      wall_total=_time.time() - wall_start,
                      columns=problem.csv_columns)

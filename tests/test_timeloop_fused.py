@@ -1,0 +1,38 @@
+"""run_fused (whole adaptive run as one device dispatch) must reproduce the
+host loop's trajectory decision-for-decision."""
+
+import numpy as np
+
+from pfhubbenchmarks_tpu import timeloop
+from pfhubbenchmarks_tpu.benchmarks import get_benchmark
+
+
+def test_run_fused_matches_host_loop_bench1():
+    problem = get_benchmark("bench1", nx=16, ny=16)
+    host = timeloop.run(problem, max_steps=8, verbose=False)
+    fused = timeloop.run_fused(problem, max_rows=8)
+    assert len(fused.rows) == len(host.rows)
+    np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(fused.state[0]),
+                               np.asarray(host.state[0]), rtol=1e-12)
+    agg = fused.stats[0]
+    assert agg.newton_iters == sum(s.newton_iters for s in host.stats)
+    assert agg.krylov_iters == sum(s.krylov_iters for s in host.stats)
+    assert agg.retries == sum(s.retries for s in host.stats)
+
+
+def test_run_fused_matches_host_loop_bench6_dirichlet():
+    problem = get_benchmark("bench6", nx=16, ny=16)
+    host = timeloop.run(problem, max_steps=5, verbose=False)
+    fused = timeloop.run_fused(problem, max_rows=5)
+    assert len(fused.rows) == len(host.rows)
+    np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
+
+
+def test_run_fused_rejects_abort_condition():
+    import pytest
+
+    problem = get_benchmark("bench3", nx=32, ny=32)
+    assert problem.abort_condition is not None
+    with pytest.raises(ValueError):
+        timeloop.run_fused(problem, max_rows=2)

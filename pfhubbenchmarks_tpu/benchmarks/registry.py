@@ -47,6 +47,10 @@ def main(name: str, argv=None) -> None:
     ap.add_argument("--nz", type=int, default=None, help="3D benchmarks only")
     ap.add_argument("--f32", action="store_true", help="float32 state (perf mode)")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="whole run as one device dispatch (timeloop."
+                         "run_fused); excludes checkpoints/stats/fields "
+                         "hooks and abort conditions")
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="directory for checkpoint/resume")
     ap.add_argument("--resume", action="store_true", help="resume from --checkpoint")
@@ -113,11 +117,19 @@ def main(name: str, argv=None) -> None:
 
     t0 = time.time()
     with profile(args.trace):
-        result = timeloop.run(problem, end_time=args.end_time,
-                              max_steps=args.max_steps,
-                              verbose=not args.quiet,
-                              on_step=(on_step if hooks else None),
-                              **resume_kwargs)
+        if args.fused:
+            if hooks:
+                raise SystemExit("--fused excludes --checkpoint/--stats-log/"
+                                 "--save-fields (per-step host hooks)")
+            result = timeloop.run_fused(
+                problem, end_time=args.end_time,
+                max_rows=args.max_steps or 512, **resume_kwargs)
+        else:
+            result = timeloop.run(problem, end_time=args.end_time,
+                                  max_steps=args.max_steps,
+                                  verbose=not args.quiet,
+                                  on_step=(on_step if hooks else None),
+                                  **resume_kwargs)
     wall = time.time() - t0
     rows = result.rows
     if ckpt is not None and ckpt.restored_rows is not None and len(rows):
@@ -125,6 +137,6 @@ def main(name: str, argv=None) -> None:
 
         rows = np.concatenate([ckpt.restored_rows, rows])
     write_csv(args.out, rows, result.columns)
-    n = len(result.stats)
+    n = len(result.rows)
     print(f"{name}: {n} steps to t={result.rows[-1, 0]:.6g} in {wall:.2f}s "
           f"({wall / max(n, 1):.3f}s/step) -> {args.out}")

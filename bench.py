@@ -75,6 +75,18 @@ def main() -> None:
     }
     if os.path.exists(REF_CSV):
         ref = np.loadtxt(REF_CSV, delimiter=",", skiprows=1)
+        # accuracy on the reference's EXACT time grid (replay mode): the
+        # controller-level decisions of the reference run depend on its
+        # 8-rank SOR partitioning (unreproducible in principle — see
+        # ROADMAP parity notes), so solution parity is measured by solving
+        # the same implicit-Euler steps on its committed grid.
+        replay = timeloop.run(problem, time_grid=ref[:, 0], verbose=False,
+                              _runner=runner)
+        nrep = len(replay.rows)
+        out["replay_rows"] = nrep
+        out["tfe_relerr_ref_grid"] = float(
+            (np.abs(replay.rows[:, 1] - ref[:nrep, 1])
+             / np.abs(ref[:nrep, 1])).max())
         n = min(len(rows), len(ref))
         match = np.isclose(rows[:n, 0], ref[:n, 0], rtol=1e-9)
         k = int(np.argmin(match)) if not match.all() else n

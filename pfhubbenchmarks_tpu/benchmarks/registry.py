@@ -47,6 +47,9 @@ def main(name: str, argv=None) -> None:
     ap.add_argument("--nz", type=int, default=None, help="3D benchmarks only")
     ap.add_argument("--f32", action="store_true", help="float32 state (perf mode)")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--replay", type=str, default=None, metavar="CSV",
+                    help="replay the time grid of a reference CSV (column 0) "
+                         "instead of running the adaptive controller")
     ap.add_argument("--fused", action="store_true",
                     help="whole run as one device dispatch (timeloop."
                          "run_fused); excludes checkpoints/stats/fields "
@@ -125,9 +128,16 @@ def main(name: str, argv=None) -> None:
                 problem, end_time=args.end_time,
                 max_rows=args.max_steps or 512, **resume_kwargs)
         else:
+            time_grid = None
+            if args.replay:
+                import numpy as np
+
+                time_grid = np.loadtxt(args.replay, delimiter=",",
+                                       skiprows=1)[:, 0]
             result = timeloop.run(problem, end_time=args.end_time,
                                   max_steps=args.max_steps,
                                   verbose=not args.quiet,
+                                  time_grid=time_grid,
                                   on_step=(on_step if hooks else None),
                                   **resume_kwargs)
     wall = time.time() - t0

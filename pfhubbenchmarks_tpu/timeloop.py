@@ -180,7 +180,11 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
     parity. Nonconvergence in replay mode is an error (the grid would desync).
     """
     tc = problem.time
-    end_time = tc.end_time if end_time is None else end_time
+    if end_time is None:
+        # a replayed grid may overshoot the nominal end_time (the reference's
+        # final step does); follow the grid to its last row
+        end_time = (float(time_grid[-1]) if time_grid is not None
+                    else tc.end_time)
     runner = _runner or Runner(problem)
     step_fn = runner.step
 
@@ -212,6 +216,31 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         niters = int(res.iters)
         while not bool(res.converged):
             if time_grid is not None:
+                # substep warm start: Newton can diverge from the cold
+                # (previous-state) guess at a replayed dt the reference
+                # accepted — e.g. bench1's t=52.7->65.5 coarsening step,
+                # where ||F|| limit-cycles for any linear-solver quality.
+                # The 2x(dt/2) implicit-Euler chain lands near the dt-step's
+                # solution; Newton from there solves the SAME discrete
+                # system (the root, not the path, defines the row).
+                for nsub in (2, 4, 8):
+                    g = w0
+                    ok = True
+                    for _ in range(nsub):
+                        rs, _ = step_fn(g, g, dt / nsub)
+                        ok = ok and bool(rs.converged)
+                        g = rs.x
+                    if not ok:
+                        continue
+                    res, obs_vals = step_fn(g, w0, dt)
+                    if bool(res.converged):
+                        break
+                if bool(res.converged):
+                    retries += 1  # recorded as a retry in StepStats
+                    niters = int(res.iters)
+                    if verbose:
+                        print(f"  replay step {step}: substep warm start")
+                    break
                 raise RuntimeError(
                     f"{problem.name}: replay step {step} (t={t:.6g}) did not "
                     f"converge; |F|={float(res.res_norm):.3e}")

@@ -29,6 +29,17 @@ def test_run_fused_matches_host_loop_bench6_dirichlet():
     np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
 
 
+def test_replay_reproduces_adaptive_trajectory():
+    """Replaying a run's own accepted time grid must land on the same rows
+    (same discrete systems solved in the same order)."""
+    problem = get_benchmark("bench1", nx=16, ny=16)
+    adaptive = timeloop.run(problem, max_steps=6, verbose=False)
+    replay = timeloop.run(problem, time_grid=adaptive.rows[:, 0],
+                          verbose=False)
+    assert len(replay.rows) == len(adaptive.rows)
+    np.testing.assert_allclose(replay.rows, adaptive.rows, rtol=1e-12)
+
+
 def test_run_fused_rejects_abort_condition():
     import pytest
 

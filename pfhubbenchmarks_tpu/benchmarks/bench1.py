@@ -43,8 +43,19 @@ def ic_c(p: Bench1Params):
 
 
 def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
-         params: Bench1Params = Bench1Params(), pad_to: tuple = (1, 1), **overrides) -> BenchmarkProblem:
+         params: Bench1Params = Bench1Params(), pad_to: tuple = (1, 1),
+         periodic: bool = False, **overrides) -> BenchmarkProblem:
+    """``periodic=True`` is the BM1 variant the reference authored but never
+    enabled (PeriodicBoundary, dolfin/pfbase.py:11-37; bench1 runs no-flux):
+    wraparound topology on both axes, no Dirichlet, unpadded storage
+    (fem/grid.py periodic gathers exclude padding, hence no SPMD sharding).
+    GMG transfers assume boundary topology, so the periodic variant
+    preconditions with pointwise block-Jacobi."""
     p = params
+    if periodic:
+        overrides.setdefault("solver", SolverConfig(
+            line_search="basic", precond="block_jacobi",
+            krylov_max_iters=2000))
 
     def dfdc(c):
         return 2.0 * p.rho_s * (c - p.c_alpha) * (p.c_beta - c) * (
@@ -66,7 +77,9 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
 
     return BenchmarkProblem(
         name="bench1",
-        grid=CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to),
+        grid=CrossedTriGrid(nx, ny, Lx, Ly,
+                            pad_to=(1, 1) if periodic else pad_to,
+                            periodic=periodic),
         field_names=("c", "mu"),
         terms=terms,
         ic_fns=[ic_c(p), lambda x, y: 0.0],
@@ -82,8 +95,8 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         # decision over the matched prefix is consistent with one threshold
         # in (7.98e-6, 8.57e-5]; the geometric mean is used. The state is
         # still solved to newton_atol=1e-6.
-        solver=SolverConfig(line_search="basic", report_atol=2.6e-5),
-        **overrides,
+        **{"solver": SolverConfig(line_search="basic", report_atol=2.6e-5),
+           **overrides},
     )
 
 

@@ -31,6 +31,11 @@ def get_benchmark(name: str, **kwargs):
     if name in ("bench2_eta1", "bench2_eta2"):
         kwargs.setdefault("num_eta", int(name[-1]))
         name = "bench2"
+    # the periodic BM1 the reference authored but never enabled
+    # (dolfin/pfbase.py:11-37)
+    if name == "bench1_periodic":
+        kwargs.setdefault("periodic", True)
+        name = "bench1"
     if name not in _BENCHMARKS:
         raise ValueError(f"unknown benchmark {name!r}; have {sorted(_BENCHMARKS)}")
     mod = importlib.import_module(_BENCHMARKS[name])

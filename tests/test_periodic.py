@@ -44,6 +44,24 @@ def test_flux_residual_sums_to_zero():
     assert abs(total) < 1e-12
 
 
+def test_bench1_periodic_variant_runs():
+    """The periodic BM1 the reference authored but never enabled
+    (dolfin/pfbase.py:11-37) is a first-class registry benchmark."""
+    import numpy as np
+
+    from pfhubbenchmarks_tpu import timeloop
+    from pfhubbenchmarks_tpu.benchmarks import get_benchmark
+
+    p = get_benchmark("bench1_periodic", nx=16, ny=16)
+    assert p.grid.periodic
+    res = timeloop.run(p, max_steps=4, verbose=False)
+    solute = res.rows[:, 2]
+    np.testing.assert_allclose(solute, solute[0], rtol=1e-10)
+    assert (np.diff(res.rows[:, 1]) < 0).all()
+    # padding-free storage: every stored node is a real dof
+    assert res.state[0].shape == (2, 16, 16)
+
+
 def test_periodic_area():
     grid, _, w = _setup()
     one = (jnp.ones_like(w[0]), jnp.ones_like(w[1]))

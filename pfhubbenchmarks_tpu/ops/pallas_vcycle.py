@@ -90,13 +90,18 @@ class _LevelMats:
 def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_pre: int = 2, nu_post: int = 2,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
-                      interpret: bool = False):
+                      with_matvec: bool = False, interpret: bool = False):
     """Returns ``vcycle(r, w, w0, dt, pinvs) -> z`` (one kernel launch).
 
     ``r``/``w``/``w0`` are fine-level states ``(v, m)``; ``pinvs`` is a list
     of per-level node-block inverses ``(pv [F,F,Yv,Xv], pm [F,F,Ym,Xm])``
     from solve/precond.py (built per Newton iteration — they depend on the
     Jacobian diagonal, which is assembled with AD outside the kernel).
+
+    ``with_matvec=True`` additionally returns ``A z`` (the fine-level J.v of
+    the preconditioned vector, same linearization): FGMRES always follows
+    ``z = M^-1 v`` with ``w = A z``, so merging them saves one kernel launch
+    and an HBM round-trip of ``z`` per Krylov iteration.
     """
     L = len(grids)
     F = n_fields
@@ -107,10 +112,12 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
             build_transfer_mats(grids[l + 1], grids[l], dtype=np.float32))
     shapes = [(g.vshape, g.mshape, g.ny, g.nx) for g in grids]
 
+    n_out = 4 if with_matvec else 2
+
     def kernel(*refs):
         # refs: r_v, r_m, w_v, w_m, w0_v, w0_m, [pv_l, pm_l]*L,
         #       [19 transfer mats]*(L-1), dt, out_v, out_m,
-        #       [az_v_l, az_m_l]*L scratch
+        #       (mv_v, mv_m when with_matvec), [az_v_l, az_m_l]*L scratch
         r_v, r_m, w_v, w_m, w0_v, w0_m = refs[:6]
         pinv = [(refs[6 + 2 * l], refs[7 + 2 * l]) for l in range(L)]
         base = 6 + 2 * L
@@ -120,7 +127,8 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         base += N_MATS * (L - 1)
         dt_ref = refs[base]
         out_v, out_m = refs[base + 1], refs[base + 2]
-        az = [(refs[base + 3 + 2 * l], refs[base + 4 + 2 * l])
+        mv_out = (refs[base + 3], refs[base + 4]) if with_matvec else None
+        az = [(refs[base + 1 + n_out + 2 * l], refs[base + 2 + n_out + 2 * l])
               for l in range(L)]
         dt = dt_ref[0, 0]
 
@@ -191,6 +199,10 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         z = vcycle(0, (r_v[:], r_m[:]))
         out_v[:] = z[0]
         out_m[:] = z[1]
+        if with_matvec:
+            Av, Am = Az(0, z)
+            mv_out[0][:] = Av
+            mv_out[1][:] = Am
 
     (Yv, Xv), (Ym, Xm) = shapes[0][0], shapes[0][1]
     scratch = []
@@ -200,14 +212,17 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     n_vmem_in = 6 + 2 * L + N_MATS * (L - 1)
     mat_consts = [jnp.asarray(a, dtype) for a in mat_arrays]
 
+    out_shape = [jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                 jax.ShapeDtypeStruct((F, Ym, Xm), dtype)]
+    if with_matvec:
+        out_shape = out_shape * 2
     call = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
-                   jax.ShapeDtypeStruct((F, Ym, Xm), dtype)),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_in
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
     )
@@ -215,7 +230,10 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     def apply(r, w, w0, dt, pinvs):
         dt_arr = jnp.asarray([[dt]], dtype)
         flat_p = [a for pv_pm in pinvs for a in pv_pm]
-        return call(r[0], r[1], w[0], w[1], w0[0], w0[1], *flat_p,
-                    *mat_consts, dt_arr)
+        out = call(r[0], r[1], w[0], w[1], w0[0], w0[1], *flat_p,
+                   *mat_consts, dt_arr)
+        if with_matvec:
+            return (out[0], out[1]), (out[2], out[3])
+        return out
 
     return apply

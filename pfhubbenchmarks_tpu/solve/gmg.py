@@ -135,7 +135,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         if fits_vmem(grids[0], n_fields, kernel="vcycle"):
             fused = make_fused_vcycle(
                 grids, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
-                coarse_sweeps=coarse_sweeps, dtype=precond_dtype)
+                coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
+                with_matvec=True)
 
     def build(w, w0, dt):
         if fused is not None:
@@ -151,9 +152,18 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                     w0l = injs[l](w0l)
 
             def Minv_fused(r):
-                z = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
+                z, _ = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
                 return _cast(z, dtype)
 
+            def minv_matvec(r):
+                """(M^-1 r, A M^-1 r) in ONE kernel launch — FGMRES's
+                z-then-Az pair (solve/krylov.py) without the intermediate
+                HBM round-trip. Same fine-level linearization (w, w0, dt)
+                as the outer J.v, so the products are identical."""
+                z, az = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
+                return _cast(z, dtype), _cast(az, dtype)
+
+            Minv_fused.minv_matvec = minv_matvec
             return Minv_fused
 
         ops = []

@@ -182,12 +182,19 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
     def cond(s):
         return ~s["done"] & (s["it"] < maxiter)
 
+    # a preconditioner may provide a fused (M^-1 v, A M^-1 v) pair — one
+    # kernel launch instead of two (solve/gmg.py Minv_fused.minv_matvec)
+    minv_matvec = getattr(Minv, "minv_matvec", None)
+
     def body(s):
         k = s["k"]
         vk = tr.basis_get(s["V"], k)
-        zk = Minv(vk)
+        if minv_matvec is not None:
+            zk, w = minv_matvec(vk)
+        else:
+            zk = Minv(vk)
+            w = matvec(zk)
         Z = tr.basis_set(s["Z"], k, zk)
-        w = matvec(zk)
         mask = (jnp.arange(m + 1) <= k).astype(dtype)
         h1 = tr.basis_dots(s["V"], w) * mask
         w = tr.sub(w, tr.basis_comb(s["V"], h1))

@@ -53,3 +53,23 @@ def test_fused_vcycle_matches_xla_vcycle():
     for a, b in zip(z_fused, z_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-5)
+
+    # with_matvec variant: same z, plus A z equal to the jvp of the fine
+    # assembly at the same linearization
+    import jax
+
+    from pfhubbenchmarks_tpu.fem.assembly import make_residual
+
+    fused_mv = make_fused_vcycle(grids, problem.terms, F, nu_pre=nu_pre,
+                                 nu_post=nu_post, coarse_sweeps=coarse,
+                                 dtype=jnp.float32, with_matvec=True,
+                                 interpret=True)
+    z2, az = fused_mv(r, w, w, dt, pinvs)
+    for a, b in zip(z2, z_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    res32 = make_residual(g, problem.terms, F, dtype=jnp.float32)
+    _, az_ref = jax.jvp(lambda u: res32(u, w, dt), (w,), (z_fused,))
+    for a, b in zip(az, az_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -31,6 +31,16 @@ BOUNDS = {
     "bench6": (6, 2e-3),
 }
 
+# replay CSVs (results/bench*_replay.csv): solved on the reference's exact
+# time grid, so ALL rows must match and the TFE bound is the solver-noise
+# floor (see ROADMAP "Adaptive-dt parity")
+REPLAY_BOUNDS = {
+    "bench1": (73, 1e-5),
+    "bench2": (120, 1e-4),
+    "bench3": (46, 1e-5),
+    "bench6": (14, 1e-6),
+}
+
 
 def compare(name: str):
     ours = np.loadtxt(f"{OURS}/{name}_out.csv", delimiter=",", skiprows=1)
@@ -49,6 +59,16 @@ def compare(name: str):
                 interp_relerr=float(interp_err))
 
 
+def compare_replay(name: str):
+    ours = np.loadtxt(f"{OURS}/{name}_replay.csv", delimiter=",", skiprows=1)
+    ref = np.loadtxt(f"{REF}/{name}_out.csv", delimiter=",", skiprows=1)
+    n = min(len(ours), len(ref))
+    assert np.allclose(ours[:n, 0], ref[:n, 0], rtol=1e-9), \
+        f"{name}_replay.csv time grid deviates from the reference grid"
+    rel = (np.abs(ours[:n, 1] - ref[:n, 1]) / np.abs(ref[:n, 1])).max()
+    return dict(rows=len(ours), ref_rows=len(ref), relerr=float(rel))
+
+
 def main(argv=None):
     names = (argv or sys.argv[1:]) or sorted(BOUNDS)
     bad = []
@@ -63,6 +83,17 @@ def main(argv=None):
         print(f"{name:8} {r['rows']:>4}/{r['ref_rows']:<4} {r['matched']:>8} "
               f"{r['prefix_relerr']:>11.3e} {r['interp_relerr']:>11.3e}  "
               f"{'ok' if ok else 'REGRESSED'}")
+    print(f"\n{'replay':8} {'rows':>9} {'TFE_relerr':>11}  verdict")
+    for name in names:
+        if not os.path.exists(f"{OURS}/{name}_replay.csv"):
+            continue
+        r = compare_replay(name)
+        min_rows, max_err = REPLAY_BOUNDS.get(name, (0, np.inf))
+        ok = r["rows"] >= min_rows and r["relerr"] <= max_err
+        if not ok:
+            bad.append(name + "_replay")
+        print(f"{name:8} {r['rows']:>4}/{r['ref_rows']:<4} "
+              f"{r['relerr']:>11.3e}  {'ok' if ok else 'REGRESSED'}")
     if bad:
         print(f"regressions: {bad}")
         return 1

@@ -42,6 +42,9 @@ class BenchmarkProblem:
     # optional early-abort predicate on a CSV row dict (bench3: TFE < 0,
     # dolfin/bench3.py:254-258)
     abort_condition: typing.Optional[Callable[[dict], bool]] = None
+    # device-side twin of abort_condition for the fused whole-run driver
+    # (timeloop.run_fused): fn(row jnp array [1+n_obs]) -> bool scalar
+    abort_device: typing.Optional[Callable] = None
     # non-integral observables: name -> fn(state) -> scalar (e.g. point
     # samples via fem/sample.py)
     custom_observables: dict[str, Callable] = dataclasses.field(default_factory=dict)

@@ -147,6 +147,7 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
         time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=100.0, grow_threshold=5),
         solver=SolverConfig(line_search="basic"),
         abort_condition=lambda row: row["total_free_energy"] < 0.0,
+        abort_device=lambda row: row[1] < 0.0,
         **overrides,
     )
 

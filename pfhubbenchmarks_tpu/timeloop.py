@@ -108,9 +108,12 @@ class Runner:
         ncols = 1 + len(cols)
         ftype = jnp.float64 if problem.dtype == jnp.float64 else jnp.float32
 
+        abort_fn = getattr(problem, "abort_device", None)
+
         def cond(s):
             return ((s["t"] < s["end_time"] + _EPS)
                     & (s["nrows"] < max_rows)
+                    & (~s["aborted"])
                     & (s["fails_at_min"] <= max_retries_at_dt_min))
 
         def body(s):
@@ -138,6 +141,11 @@ class Runner:
                 fails_at_min=jnp.where(conv, 0,
                                        s["fails_at_min"]
                                        + (at_min & ~conv).astype(jnp.int32)),
+                # abort rows are recorded, then the loop stops (host-loop
+                # semantics: append the row, break)
+                aborted=(s["aborted"]
+                         | (conv & abort_fn(row) if abort_fn is not None
+                            else jnp.array(False))),
                 attempts=s["attempts"] + 1,
                 # accepted attempts only, matching the host loop's StepStats
                 # (failed attempts go unrecorded there too)
@@ -153,6 +161,7 @@ class Runner:
                 w=w, t=t, dt=dt, end_time=end_time,
                 rows=jnp.zeros((max_rows, ncols), ftype),
                 nrows=jnp.array(0, jnp.int32),
+                aborted=jnp.array(False),
                 fails_at_min=jnp.array(0, jnp.int32),
                 attempts=jnp.array(0, jnp.int32),
                 newton_iters=jnp.array(0, jnp.int32),
@@ -310,9 +319,11 @@ def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
     import jax.numpy as jnp
 
     tc = problem.time
-    if problem.abort_condition is not None:
-        raise ValueError("run_fused does not support abort_condition; "
-                         "use timeloop.run")
+    if (problem.abort_condition is not None
+            and getattr(problem, "abort_device", None) is None):
+        raise ValueError("run_fused needs a device-side abort predicate "
+                         "(BenchmarkProblem.abort_device) to honor "
+                         "abort_condition; use timeloop.run")
     end_time = tc.end_time if end_time is None else end_time
     runner = _runner or Runner(problem)
     drive = runner.fused_drive(max_rows, max_retries_at_dt_min)

@@ -40,10 +40,22 @@ def test_replay_reproduces_adaptive_trajectory():
     np.testing.assert_allclose(replay.rows, adaptive.rows, rtol=1e-12)
 
 
-def test_run_fused_rejects_abort_condition():
+def test_run_fused_bench3_abort_device_matches_host():
+    """bench3's TFE<0 abort has a device-side twin, so the fused driver
+    reproduces the host loop including the abort semantics."""
+    problem = get_benchmark("bench3", nx=32, ny=32)
+    assert problem.abort_condition is not None
+    host = timeloop.run(problem, max_steps=4, verbose=False)
+    fused = timeloop.run_fused(problem, max_rows=4)
+    np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
+
+
+def test_run_fused_rejects_host_only_abort_condition():
+    import dataclasses
+
     import pytest
 
     problem = get_benchmark("bench3", nx=32, ny=32)
-    assert problem.abort_condition is not None
+    problem = dataclasses.replace(problem, abort_device=None)
     with pytest.raises(ValueError):
         timeloop.run_fused(problem, max_rows=2)

@@ -83,6 +83,33 @@ class Runner:
 
         self.step = jax.jit(step)
         self._fused = {}
+        self._rescue = None
+
+    def rescue_step(self):
+        """Robust variant of ``step`` for replay rescue: bt line search +
+        bigger budgets finds the same root where basic-Newton overshoots
+        (lazily compiled — only replay runs that hit a divergent step pay)."""
+        if self._rescue is None:
+            import dataclasses
+
+            problem = self.problem
+            cfg = dataclasses.replace(
+                problem.solver, line_search="bt", newton_max_iters=30,
+                krylov_max_iters=3 * problem.solver.krylov_max_iters,
+                report_atol=None)
+            lowp = getattr(problem, "residual_lowp", lambda: None)()
+            newton = make_newton_solver(problem.residual(), cfg,
+                                        problem.precond_builder(),
+                                        residual_lowp=lowp, jit=False)
+            obs = self.problem.observable_fns()
+            cols = self.problem.csv_columns[1:]
+
+            def step(w_guess, w_prev, dt):
+                res = newton(w_guess, w_prev, dt)
+                return res, tuple(obs[c](res.x) for c in cols)
+
+            self._rescue = jax.jit(step)
+        return self._rescue
 
     def run(self, **kwargs) -> "RunResult":
         return run(self.problem, _runner=self, **kwargs)
@@ -242,6 +269,12 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                     if not ok:
                         continue
                     res, obs_vals = step_fn(g, w0, dt)
+                    if bool(res.converged):
+                        break
+                    # warm start alone isn't always enough (bench3's
+                    # t=41.59, dt=5.12): bt from the warm guess damps the
+                    # remaining overshoot
+                    res, obs_vals = runner.rescue_step()(g, w0, dt)
                     if bool(res.converged):
                         break
                 if bool(res.converged):

@@ -42,6 +42,29 @@ def test_first_rows_match_reference(name, steps, tfe_tol):
     np.testing.assert_allclose(res.rows[:, 2], ref[:steps, 2], rtol=1e-9)
 
 
+def test_bench1_field_matches_reference_vtu():
+    """FIELD-level golden parity: the reference committed P1 concentration
+    snapshots (results/bench1/conc*.vtu, written by dolfin/bench1.py at
+    t=0.1..4.7); our nodal c after the same 6 steps must match pointwise."""
+    from pfhubbenchmarks_tpu.io.vtu_reader import field_on_grid, read_pvd
+
+    pvd = "/root/reference/results/bench1/conc.pvd"
+    sets = read_pvd(pvd)
+    problem = get_benchmark("bench1")
+    res = timeloop.run(problem, max_steps=6, verbose=False)
+    t_ref, vtu = sets[5]
+    np.testing.assert_allclose(res.rows[5, 0], t_ref, rtol=1e-12)
+    g = problem.grid
+    ref_v, ref_m = field_on_grid(vtu, g.nx, g.ny, g.hx, g.hy)
+    v, m = res.state
+    c_v = np.asarray(v[0, : g.ny + 1, : g.nx + 1])
+    c_m = np.asarray(m[0, : g.ny, : g.nx])
+    # both sides solve each step to ||F|| < 1e-6; measured max nodal drift
+    # after 6 steps is 3.8e-6 (pure accumulated solver noise)
+    assert np.abs(c_v - ref_v).max() < 1e-5, np.abs(c_v - ref_v).max()
+    assert np.abs(c_m - ref_m).max() < 1e-5, np.abs(c_m - ref_m).max()
+
+
 def test_bench1_solute_conserved_and_energy_decreases():
     problem = get_benchmark("bench1", nx=32, ny=32)
     res = timeloop.run(problem, max_steps=8, verbose=False)

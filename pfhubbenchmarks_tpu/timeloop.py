@@ -277,6 +277,20 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                     res, obs_vals = runner.rescue_step()(g, w0, dt)
                     if bool(res.converged):
                         break
+                if not bool(res.converged):
+                    # continuation in dt (fixed w0): each intermediate root
+                    # seeds the next — unlike substepping, the guess chain
+                    # homotopies to the ACTUAL dt-system root (bench2's
+                    # t=81.51 step needs this)
+                    g = w0
+                    for frac in (0.25, 0.5, 0.75, 1.0):
+                        res, obs_vals = step_fn(g, w0, frac * dt)
+                        if not bool(res.converged):
+                            res, obs_vals = runner.rescue_step()(
+                                g, w0, frac * dt)
+                        if not bool(res.converged):
+                            break
+                        g = res.x
                 if bool(res.converged):
                     retries += 1  # recorded as a retry in StepStats
                     niters = int(res.iters)

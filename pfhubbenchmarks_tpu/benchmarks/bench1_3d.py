@@ -82,15 +82,14 @@ class Benchmark3DProblem:
     def precond_builder(self):
         kry_dtype = jnp.float32 if self.mixed_precision else self.dtype
         if self.solver.precond == "gmg":
-            if self.dirichlet_spec:
-                raise NotImplementedError(
-                    "3D GMG has no Dirichlet coarse-level machinery yet; "
-                    "use precond='block_jacobi' for 3D Dirichlet problems")
             from pfhubbenchmarks_tpu.solve.gmg3d import make_gmg3d
 
             s = self.solver
             return make_gmg3d(self.grid, self.terms, self.n_fields,
-                              dtype=kry_dtype, nu_pre=s.gmg_nu_pre,
+                              dirichlet_for=self.dirichlet_for,
+                              dtype=kry_dtype,
+                              needs_coords=self.needs_coords,
+                              nu_pre=s.gmg_nu_pre,
                               nu_post=s.gmg_nu_post,
                               coarse_sweeps=s.gmg_coarse_sweeps,
                               max_levels=s.gmg_max_levels)

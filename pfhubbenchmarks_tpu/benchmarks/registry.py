@@ -20,6 +20,7 @@ _BENCHMARKS = {
     "bench3": "pfhubbenchmarks_tpu.benchmarks.bench3",
     "bench6": "pfhubbenchmarks_tpu.benchmarks.bench6",
     "bench1_3d": "pfhubbenchmarks_tpu.benchmarks.bench1_3d",
+    "bench6_3d": "pfhubbenchmarks_tpu.benchmarks.bench6_3d",
     "elast": "pfhubbenchmarks_tpu.benchmarks.elast",
     "poisson": "pfhubbenchmarks_tpu.benchmarks.poisson",
     "poisson3d": "pfhubbenchmarks_tpu.benchmarks.poisson3d",

@@ -32,15 +32,25 @@ def build_hierarchy3d(grid: TetGrid, max_levels: int = 10,
     return grids
 
 
-def make_gmg3d(grid: TetGrid, terms, n_fields: int, dtype=None, *,
+def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
+               dtype=None, needs_coords: bool = False, *,
                nu_pre: int = 2, nu_post: int = 2, coarse_sweeps: int = 24,
                max_levels: int = 10, precond_dtype=jnp.float32):
+    """``dirichlet_for(grid) -> (DirichletBC3D, ...)`` rebuilds face BCs on
+    every coarse level (coarse rediscretization keeps BC rows ``u - g``,
+    mirroring the 2D cycle)."""
     dtype = dtype or jnp.float64
+    dirichlet_for = dirichlet_for or (lambda g: ())
     grids = build_hierarchy3d(grid, max_levels=max_levels)
-    residuals = [make_residual3d(g, terms, n_fields, dtype=precond_dtype)
-                 for g in grids]
-    bj_builders = [make_block_jacobi3d(g, terms, n_fields, dtype=precond_dtype)
-                   for g in grids]
+    level_bcs = [dirichlet_for(g) for g in grids]
+    residuals = [make_residual3d(g, terms, n_fields, dirichlet=bcs,
+                                 needs_coords=needs_coords,
+                                 dtype=precond_dtype)
+                 for g, bcs in zip(grids, level_bcs)]
+    bj_builders = [make_block_jacobi3d(g, terms, n_fields, dirichlet=bcs,
+                                       dtype=precond_dtype,
+                                       needs_coords=needs_coords)
+                   for g, bcs in zip(grids, level_bcs)]
     Ps = [prolong3d(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     Rs = [restrict3d(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     injs = [inject_state3d(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]

@@ -122,6 +122,35 @@ def test_checkpoint_resume_3d_state(tmp_path):
                                   np.asarray(full.state[0]))
 
 
+def test_bench6_3d_conserved_bc_and_energy():
+    """True 3D bench6 (the reference's b63d is a 2D near-copy,
+    dolfin/b63d.py:23): CH+Poisson on Kuhn tets with face Dirichlet rows
+    through the 3D GMG. Whole-stack check: conservation, BC faces, energy
+    decrease.
+
+    Note discovered building this: z-invariant data does NOT give a
+    z-invariant discrete solution on Kuhn tets with mixed Dirichlet/
+    Neumann faces — verified against an independent brute-force numpy
+    assembly+solve (identical to 1e-10), so DOLFIN's BoxMesh behaves the
+    same; the asymmetric tets couple z at the Dirichlet/Neumann edges."""
+    problem = get_benchmark("bench6_3d", nx=12, ny=12, nz=4)
+    res = timeloop.run(problem, max_steps=2, verbose=False)
+    (v,) = res.state
+    g = problem.grid
+    act = np.asarray(v[:, : g.nz + 1, : g.ny + 1, : g.nx + 1])
+    # phi Dirichlet faces
+    y = np.arange(g.ny + 1) * g.hy
+    np.testing.assert_allclose(act[2, :, :, 0], 0.0, atol=1e-9)
+    np.testing.assert_allclose(act[2, :, :, -1],
+                               np.broadcast_to(np.sin(y / 7.0),
+                                               (g.nz + 1, g.ny + 1)),
+                               atol=1e-9)
+    # solute conserved, energy decreasing
+    solute = res.rows[:, 2]
+    np.testing.assert_allclose(solute, solute[0], rtol=1e-10)
+    assert (np.diff(res.rows[:, 1]) < 0).all()
+
+
 def test_bench3_anisotropy_flag_runs_without_nan():
     """The reference authored anisotropy but disabled it over atan NaNs
     (dolfin/bench3.py:72-81); our atan2 version must run clean."""

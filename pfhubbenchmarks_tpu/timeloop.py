@@ -94,7 +94,7 @@ class Runner:
 
             problem = self.problem
             cfg = dataclasses.replace(
-                problem.solver, line_search="bt", newton_max_iters=30,
+                problem.solver, line_search="bt", newton_max_iters=60,
                 krylov_max_iters=3 * problem.solver.krylov_max_iters,
                 report_atol=None)
             lowp = getattr(problem, "residual_lowp", lambda: None)()
@@ -283,7 +283,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                     # homotopies to the ACTUAL dt-system root (bench2's
                     # t=81.51 step needs this)
                     g = w0
-                    for frac in (0.25, 0.5, 0.75, 1.0):
+                    for frac in (0.25, 0.5, 0.7, 0.85, 0.95, 1.0):
                         res, obs_vals = step_fn(g, w0, frac * dt)
                         if not bool(res.converged):
                             res, obs_vals = runner.rescue_step()(

@@ -144,6 +144,7 @@ def main(name: str, argv=None) -> None:
                                   max_steps=args.max_steps,
                                   verbose=not args.quiet,
                                   time_grid=time_grid,
+                                  replay_partial=time_grid is not None,
                                   on_step=(on_step if hooks else None),
                                   **resume_kwargs)
     wall = time.time() - t0

@@ -204,7 +204,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         max_steps: int | None = None, verbose: bool = True,
         max_retries_at_dt_min: int = 60,
         state0=None, t0: float | None = None, dt0: float | None = None,
-        step0: int = 0, time_grid=None,
+        step0: int = 0, time_grid=None, replay_partial: bool = False,
         on_step: Callable[[StepStats, tuple], None] | None = None,
         _runner: "Runner | None" = None) -> RunResult:
     """Run a benchmark to final time; returns the CSV rows + per-step stats.
@@ -213,7 +213,9 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
     Replaces the adaptive-dt rule with the given grid — used to replay the
     reference's committed time grid (results/bench*_out.csv column 0) so
     per-step solve accuracy can be measured independently of dt-sequence
-    parity. Nonconvergence in replay mode is an error (the grid would desync).
+    parity. Nonconvergence in replay mode (after the warm-start/continuation
+    rescue ladder) is an error — or, with ``replay_partial``, ends the run
+    with the rows accumulated so far (the grid would desync past it).
     """
     tc = problem.time
     if end_time is None:
@@ -297,6 +299,14 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                     if verbose:
                         print(f"  replay step {step}: substep warm start")
                     break
+                if replay_partial:
+                    print(f"{problem.name}: replay step {step} (t={t:.6g}) "
+                          f"did not converge (|F|={float(res.res_norm):.3e})"
+                          f"; stopping with {len(rows)} rows")
+                    return RunResult(rows=np.asarray(rows), stats=stats,
+                                     state=w0,
+                                     wall_total=_time.time() - wall_start,
+                                     columns=problem.csv_columns)
                 raise RuntimeError(
                     f"{problem.name}: replay step {step} (t={t:.6g}) did not "
                     f"converge; |F|={float(res.res_norm):.3e}")

@@ -261,6 +261,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                 # The 2x(dt/2) implicit-Euler chain lands near the dt-step's
                 # solution; Newton from there solves the SAME discrete
                 # system (the root, not the path, defines the row).
+                warm = None
                 for nsub in (2, 4, 8):
                     g = w0
                     ok = True
@@ -270,20 +271,28 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                         g = rs.x
                     if not ok:
                         continue
+                    warm = g
                     res, obs_vals = step_fn(g, w0, dt)
-                    if bool(res.converged):
-                        break
-                    # warm start alone isn't always enough (bench3's
-                    # t=41.59, dt=5.12): bt from the warm guess damps the
-                    # remaining overshoot
-                    res, obs_vals = runner.rescue_step()(g, w0, dt)
                     if bool(res.converged):
                         break
                 if not bool(res.converged):
                     # continuation in dt (fixed w0): each intermediate root
                     # seeds the next — unlike substepping, the guess chain
                     # homotopies to the ACTUAL dt-system root (bench2's
-                    # t=81.51 step needs this)
+                    # t=81.51 step needs this). Production solver only —
+                    # the bt rescue program is a separate (large) compile
+                    # kept as the last resort.
+                    g = w0
+                    for frac in (0.25, 0.5, 0.7, 0.85, 0.95, 1.0):
+                        res, obs_vals = step_fn(g, w0, frac * dt)
+                        if not bool(res.converged):
+                            break
+                        g = res.x
+                if not bool(res.converged) and warm is not None:
+                    # bt from the warm guess damps the remaining overshoot
+                    # (bench3's t=41.59, dt=5.12)
+                    res, obs_vals = runner.rescue_step()(warm, w0, dt)
+                if not bool(res.converged):
                     g = w0
                     for frac in (0.25, 0.5, 0.7, 0.85, 0.95, 1.0):
                         res, obs_vals = step_fn(g, w0, frac * dt)

@@ -105,6 +105,9 @@ class TimeConfig:
     # Reference rule: double dt if Newton converged in < grow_threshold
     # iterations, else halve (floored at dt_min). dolfin/bench1.py:179-183.
     grow_threshold: int = 5
+    # Hysteresis variant (dolfinx/b13d.py:306-310): halve only when iters >
+    # shrink_threshold, keep dt in between. None = the classic 2-way rule.
+    shrink_threshold: int | None = None
 
 
 def default_device_mesh_shape(n_devices: int) -> tuple[int, int]:

@@ -154,8 +154,12 @@ class Runner:
                              s["rows"].at[s["nrows"]].set(row), s["rows"])
             w = jax.tree.map(lambda a, b: jnp.where(conv, a, b), res.x, s["w"])
             grow = res.iters < tc.grow_threshold
+            shrink = (jnp.array(True) if tc.shrink_threshold is None
+                      else res.iters > tc.shrink_threshold)
             dt_ok = jnp.where(grow, 2.0 * s["dt"],
-                              jnp.maximum(0.5 * s["dt"], tc.dt_min))
+                              jnp.where(shrink,
+                                        jnp.maximum(0.5 * s["dt"], tc.dt_min),
+                                        s["dt"]))
             dt_fail = jnp.maximum(0.5 * s["dt"], tc.dt_min)
             at_min = s["dt"] <= tc.dt_min * (1 + 1e-12)
             return dict(
@@ -334,10 +338,11 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         wall = _time.time() - t_attempt
         dt_used = dt
 
-        # reference adaptive rule (dolfin/bench1.py:179-183)
+        # reference adaptive rule (dolfin/bench1.py:179-183); optional
+        # hysteresis band (dolfinx/b13d.py:306-310)
         if niters < tc.grow_threshold:
             dt = 2.0 * dt
-        else:
+        elif tc.shrink_threshold is None or niters > tc.shrink_threshold:
             dt = max(0.5 * dt, tc.dt_min)
 
         obs = [float(v) for v in obs_vals]

@@ -29,6 +29,20 @@ def test_run_fused_matches_host_loop_bench6_dirichlet():
     np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
 
 
+def test_hysteresis_dt_rule_host_and_fused():
+    """dolfinx/b13d.py:306-310 rule: keep dt while iters sit in the band."""
+    import dataclasses
+
+    problem = get_benchmark("bench1", nx=16, ny=16)
+    problem.time = dataclasses.replace(problem.time, grow_threshold=1,
+                                       shrink_threshold=9)
+    host = timeloop.run(problem, max_steps=5, verbose=False)
+    # every solve takes 1-4 iterations here: inside the band -> dt constant
+    assert all(s.dt == host.stats[0].dt for s in host.stats)
+    fused = timeloop.run_fused(problem, max_rows=5)
+    np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
+
+
 def test_replay_reproduces_adaptive_trajectory():
     """Replaying a run's own accepted time grid must land on the same rows
     (same discrete systems solved in the same order)."""

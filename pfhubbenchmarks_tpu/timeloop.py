@@ -93,9 +93,12 @@ class Runner:
             import dataclasses
 
             problem = self.problem
+            # Budget stays close to the production solve so ONE dispatch
+            # never runs for minutes (a silent multi-minute dispatch can
+            # kill the tunneled TPU worker); callers chain short rescues
+            # instead of one long one.
             cfg = dataclasses.replace(
-                problem.solver, line_search="bt", newton_max_iters=60,
-                krylov_max_iters=3 * problem.solver.krylov_max_iters,
+                problem.solver, line_search="bt", newton_max_iters=15,
                 report_atol=None)
             lowp = getattr(problem, "residual_lowp", lambda: None)()
             newton = make_newton_solver(problem.residual(), cfg,
@@ -294,8 +297,14 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                         g = res.x
                 if not bool(res.converged) and warm is not None:
                     # bt from the warm guess damps the remaining overshoot
-                    # (bench3's t=41.59, dt=5.12)
-                    res, obs_vals = runner.rescue_step()(warm, w0, dt)
+                    # (bench3's t=41.59, dt=5.12); chained short dispatches,
+                    # each re-warm-starting from the previous best iterate
+                    g = warm
+                    for _ in range(4):
+                        res, obs_vals = runner.rescue_step()(g, w0, dt)
+                        if bool(res.converged):
+                            break
+                        g = res.x
                 if not bool(res.converged):
                     g = w0
                     for frac in (0.25, 0.5, 0.7, 0.85, 0.95, 1.0):

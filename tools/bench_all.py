@@ -4,7 +4,10 @@ The quantitative record the reference keeps in code comments
 (dolfin/bench2.py:139-143 etc.) as a reproducible harness. Writes
 results/<bench>_out.csv and prints one summary line per benchmark.
 
-Usage: python tools/bench_all.py [bench1 bench2 ...]
+Usage: python tools/bench_all.py [--fused] [bench1 bench2 ...]
+
+``--fused`` drives each run through timeloop.run_fused (ONE device
+dispatch per benchmark) — the production fast path.
 """
 
 import os
@@ -19,16 +22,23 @@ from pfhubbenchmarks_tpu import timeloop
 from pfhubbenchmarks_tpu.benchmarks import get_benchmark
 from pfhubbenchmarks_tpu.io.csvout import write_csv
 
-names = sys.argv[1:] or ["bench1", "bench2", "bench6", "bench3", "bench1_3d",
-                         "elast"]
+args = sys.argv[1:]
+fused = "--fused" in args
+names = [a for a in args if not a.startswith("--")] or [
+    "bench1", "bench2", "bench6", "bench3", "bench1_3d", "elast"]
 for name in names:
     pb = get_benchmark(name)
     runner = timeloop.Runner(pb)
+    use_fused = fused and (pb.abort_condition is None
+                           or getattr(pb, "abort_device", None) is not None)
     t0 = time.time()
-    runner.run(max_steps=1, verbose=False)
+    if use_fused:
+        runner.run_fused(end_time=pb.time.t0 + 2.1 * pb.time.dt0)
+    else:
+        runner.run(max_steps=1, verbose=False)
     compile_s = time.time() - t0
     t0 = time.time()
-    res = runner.run(verbose=False)
+    res = runner.run_fused() if use_fused else runner.run(verbose=False)
     wall = time.time() - t0
     write_csv(f"results/{name}_out.csv", res.rows, res.columns)
     line = (f"{name}: steps={len(res.rows)} wall={wall:.1f}s "

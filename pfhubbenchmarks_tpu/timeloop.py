@@ -83,36 +83,21 @@ class Runner:
 
         self.step = jax.jit(step)
         self._fused = {}
-        self._rescue = None
+        self._damped = None
 
-    def rescue_step(self):
-        """Robust variant of ``step`` for replay rescue: bt line search +
-        bigger budgets finds the same root where basic-Newton overshoots
-        (lazily compiled — only replay runs that hit a divergent step pay)."""
-        if self._rescue is None:
-            import dataclasses
+    def host_damped(self):
+        """Host-orchestrated damped Newton (solve/robust.py) for replay
+        rescue: finds the root where full-step Newton limit-cycles, with
+        no device dispatch larger than the production program (a bt
+        variant of the whole Newton program crashes the tunneled worker
+        on the largest grids). Lazily built — only replay runs that hit a
+        divergent step pay."""
+        if self._damped is None:
+            from pfhubbenchmarks_tpu.solve.robust import (
+                make_host_damped_newton)
 
-            problem = self.problem
-            # Budget stays close to the production solve so ONE dispatch
-            # never runs for minutes (a silent multi-minute dispatch can
-            # kill the tunneled TPU worker); callers chain short rescues
-            # instead of one long one.
-            cfg = dataclasses.replace(
-                problem.solver, line_search="bt", newton_max_iters=15,
-                report_atol=None)
-            lowp = getattr(problem, "residual_lowp", lambda: None)()
-            newton = make_newton_solver(problem.residual(), cfg,
-                                        problem.precond_builder(),
-                                        residual_lowp=lowp, jit=False)
-            obs = self.problem.observable_fns()
-            cols = self.problem.csv_columns[1:]
-
-            def step(w_guess, w_prev, dt):
-                res = newton(w_guess, w_prev, dt)
-                return res, tuple(obs[c](res.x) for c in cols)
-
-            self._rescue = jax.jit(step)
-        return self._rescue
+            self._damped = make_host_damped_newton(self.problem)
+        return self._damped
 
     def run(self, **kwargs) -> "RunResult":
         return run(self.problem, _runner=self, **kwargs)
@@ -296,25 +281,19 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                             break
                         g = res.x
                 if not bool(res.converged) and warm is not None:
-                    # bt from the warm guess damps the remaining overshoot
-                    # (bench3's t=41.59, dt=5.12); chained short dispatches,
-                    # each re-warm-starting from the previous best iterate
-                    g = warm
-                    for _ in range(4):
-                        res, obs_vals = runner.rescue_step()(g, w0, dt)
-                        if bool(res.converged):
-                            break
-                        g = res.x
-                if not bool(res.converged):
-                    g = w0
-                    for frac in (0.25, 0.5, 0.7, 0.85, 0.95, 1.0):
-                        res, obs_vals = step_fn(g, w0, frac * dt)
-                        if not bool(res.converged):
-                            res, obs_vals = runner.rescue_step()(
-                                g, w0, frac * dt)
-                        if not bool(res.converged):
-                            break
-                        g = res.x
+                    # damped Newton from the warm guess crosses the
+                    # remaining gap (bench3's t=41.59 dt-fold)
+                    x, conv, _ = runner.host_damped()(warm, w0, dt)
+                    if conv:
+                        # package through the production solver (0-1
+                        # iterations from the root) for NewtonResult + obs
+                        res, obs_vals = step_fn(x, w0, dt)
+                if not bool(res.converged) and g is not None:
+                    # last resort: damped Newton from the deepest
+                    # continuation iterate
+                    x, conv, _ = runner.host_damped()(g, w0, dt)
+                    if conv:
+                        res, obs_vals = step_fn(x, w0, dt)
                 if bool(res.converged):
                     retries += 1  # recorded as a retry in StepStats
                     niters = int(res.iters)

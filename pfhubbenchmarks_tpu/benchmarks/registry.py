@@ -145,6 +145,7 @@ def main(name: str, argv=None) -> None:
                                   verbose=not args.quiet,
                                   time_grid=time_grid,
                                   replay_partial=time_grid is not None,
+                                  replay_substep_fallback=time_grid is not None,
                                   on_step=(on_step if hooks else None),
                                   **resume_kwargs)
     wall = time.time() - t0

@@ -1,0 +1,229 @@
+"""Row-block-tiled LMR smoothing kernel — fused sweeps for grids that
+exceed the whole-array VMEM envelope.
+
+The whole-array sweep kernels (ops/pallas_residual.py) hold every operand
+in VMEM, which caps them at ~2-field 100^2 grids (16 MB scoped stack);
+bench2's 6-field fine level and bench3's 350^2 levels fall back to ~25
+unfused XLA ops per sweep. This kernel tiles the sweep over row blocks:
+
+- the grid axis walks ``nb = ny // block_rows`` blocks; every block loads a
+  (block_rows + halo)-row slab of each operand (inputs are pre-staged into
+  non-overlapping stacked slabs by XLA gathers, so standard BlockSpecs
+  apply — no in-kernel DMA choreography);
+- per block: z = P^-1 r pointwise on the full slab, A z by ``jax.jvp`` of
+  the block-local scalar-FMA assembly (halo cell rows are re-evaluated, ~2
+  rows per block of duplicated work), plus the block's partial <Az,r> and
+  <Az,Az> sums over OWNED rows only;
+- outside: alpha = sum(num)/sum(den), then two fused axpys.
+
+One sweep = one pallas_call + a handful of cheap XLA reshape/axpy ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+from pfhubbenchmarks_tpu.ops.pallas_residual import _scalar_assembly
+
+
+def choose_block_rows(ny: int, target: int = 32) -> int | None:
+    """Largest divisor of ny that is <= target (None if only trivial)."""
+    for bc in range(min(target, ny), 3, -1):
+        if ny % bc == 0:
+            return bc
+    return None
+
+
+def _row_gather(a, nb, bc, rows, nrows_logical):
+    """[F, Y, X] -> [nb, F, rows, X]; block b covers global rows
+    [b*bc - 1, b*bc - 1 + rows); out-of-range rows are zeros."""
+    idx = np.arange(nb)[:, None] * bc - 1 + np.arange(rows)[None, :]
+    valid = (idx >= 0) & (idx < nrows_logical)
+    idxc = np.clip(idx, 0, a.shape[1] - 1)
+    out = a[:, jnp.asarray(idxc), :]            # [F, nb, rows, X]
+    out = jnp.where(jnp.asarray(valid)[None, :, :, None], out, 0.0)
+    return jnp.moveaxis(out, 1, 0)
+
+
+def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
+                         dtype=jnp.float32, block_rows: int | None = None,
+                         interpret: bool = False):
+    """Returns ``(prepare, sweep)``:
+
+    ``prepare(w, w0, pinv)`` stages the sweep-invariant operands (block
+    stacks of the linearization state and node-block inverses) once per
+    preconditioner build; ``sweep(x, r, n, staged, dt)`` runs n LMR sweeps.
+    """
+    F = n_fields
+    ny, nx = grid.ny, grid.nx
+    Yv, Xv = grid.vshape
+    Ym, Xm = grid.mshape
+    bc = block_rows or choose_block_rows(ny)
+    assert bc is not None and ny % bc == 0, (ny, bc)
+    nb = ny // bc
+    rows_c = bc + 2           # cell rows evaluated per block
+    rows_v = bc + 3           # vertex slab rows
+    rows_m = bc + 2           # center slab rows
+    # block-local tabulation: same element geometry, rows_c cell rows
+    blk_grid = dataclasses.replace(grid, ny=rows_c, Ly=grid.hy * rows_c,
+                                   pad_to=(1, 1))
+    resid_blk = _scalar_assembly(blk_grid, terms, F)
+
+    gather_v = partial(_row_gather, nb=nb, bc=bc, rows=rows_v,
+                       nrows_logical=ny + 1)
+    gather_m = partial(_row_gather, nb=nb, bc=bc, rows=rows_m,
+                       nrows_logical=ny)
+
+    def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref,
+               z_v_o, z_m_o, az_v_o, az_m_o, num_o, den_o, av_s, am_s):
+        pid = pl.program_id(0)
+        dt = dt_ref[0, 0]
+
+        def bj(pref, rref):
+            out = []
+            for i in range(F):
+                acc = None
+                for j in range(F):
+                    t = pref[0, i, j] * rref[0, j]
+                    acc = t if acc is None else acc + t
+                out.append(acc)
+            return jnp.stack(out)
+
+        zv = bj(pv, r_v)      # [F, rows_v, Xv]
+        zm = bj(pm, r_m)
+
+        w_blk = (w_v[0], w_m[0])
+        z_blk = (zv, zm)
+        _, acc = jax.jvp(lambda u: resid_blk(u, (w0_v[0], w0_m[0]), dt),
+                         (w_blk,), (z_blk,))
+        # acc: [5][F] planes of [rows_c, nx] tangent contributions.
+        # Mask the fake halo cell rows at the domain edges: block 0's local
+        # cell row 0 and the last block's local row bc+1 don't exist.
+        rr = lax.broadcasted_iota(jnp.int32, (rows_c, nx), 0)
+        first_fake = (pid == 0)
+        last_fake = (pid == nb - 1)
+        mask = jnp.where((rr == 0) & first_fake, 0.0,
+                         jnp.where((rr == rows_c - 1) & last_fake, 0.0, 1.0)
+                         ).astype(dtype)
+        # scatter into slab scratch refs (read-modify-write slice updates;
+        # Mosaic rejects value-level scatter-add)
+        av_s[:] = jnp.zeros_like(av_s)
+        am_s[:] = jnp.zeros_like(am_s)
+        shifts = [(0, 0), (0, 1), (1, 1), (1, 0)]  # SW, SE, NE, NW
+        for f in range(F):
+            for s_i, (dy, dx) in enumerate(shifts):
+                av_s[f, dy:rows_c + dy, dx:nx + dx] = (
+                    av_s[f, dy:rows_c + dy, dx:nx + dx] + acc[s_i][f] * mask)
+            am_s[f, :rows_c, :nx] = acc[4][f] * mask
+        av = av_s[:]
+        am = am_s[:]
+
+        # owned slices: vertex local rows [1, bc+2), center [1, bc+1)
+        z_v_o[0] = zv[:, 1:bc + 2, :]
+        z_m_o[0] = zm[:, 1:bc + 1, :]
+        az_v_o[0] = av[:, 1:bc + 2, :]
+        az_m_o[0] = am[:, 1:bc + 1, :]
+
+        # partial reductions over owned rows, counting the shared vertex
+        # row (slab-out row bc) only on the last block
+        last = (pid == nb - 1).astype(dtype)
+        rv_own = r_v[0, :, 1:bc + 2, :]
+        rm_own = r_m[0, :, 1:bc + 1, :]
+        av_own = av[:, 1:bc + 2, :]
+        am_own = am[:, 1:bc + 1, :]
+        wrow = jnp.concatenate([jnp.ones((bc,), dtype),
+                                jnp.zeros((1,), dtype)]) \
+            + jnp.concatenate([jnp.zeros((bc,), dtype), jnp.ones((1,), dtype)]) * last
+        wrow = wrow[None, :, None]
+        num = (jnp.sum(av_own * rv_own * wrow)
+               + jnp.sum(am_own * rm_own))
+        den = (jnp.sum(av_own * av_own * wrow)
+               + jnp.sum(am_own * am_own))
+        num_o[0, 0] = num
+        den_o[0, 0] = den
+
+    slab = lambda rows, X: pl.BlockSpec((1, F, rows, X),
+                                        lambda i: (i, 0, 0, 0))
+    pslab = lambda rows, X: pl.BlockSpec((1, F, F, rows, X),
+                                         lambda i: (i, 0, 0, 0, 0))
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[slab(rows_v, Xv), slab(rows_m, Xm),
+                  slab(rows_v, Xv), slab(rows_m, Xm),
+                  slab(rows_v, Xv), slab(rows_m, Xm),
+                  pslab(rows_v, Xv), pslab(rows_m, Xm),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(slab(bc + 1, Xv), slab(bc, Xm),
+                   slab(bc + 1, Xv), slab(bc, Xm),
+                   pl.BlockSpec((1, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((1, 1), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),
+                   jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype),
+                   jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),
+                   jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype),
+                   jax.ShapeDtypeStruct((nb, 1), dtype),
+                   jax.ShapeDtypeStruct((nb, 1), dtype)),
+        scratch_shapes=[pltpu.VMEM((F, rows_v, Xv), dtype),
+                        pltpu.VMEM((F, rows_m, Xm), dtype)],
+        interpret=interpret,
+    )
+
+    def _unstack(stack, rows_owned, Y, X):
+        """[nb, F, rows_owned, X] -> [F, Y, X]; blocks own rows [0, bc),
+        plus the final logical row from the last block (vertex only)."""
+        body = jnp.moveaxis(stack[:, :, :bc, :], 0, 1).reshape(F, nb * bc, X)
+        if rows_owned == bc + 1:   # vertex: add the last shared row
+            lastrow = stack[nb - 1, :, bc, :][:, None, :]
+            body = jnp.concatenate([body, lastrow], axis=1)
+        pad = Y - body.shape[1]
+        if pad:
+            body = jnp.concatenate(
+                [body, jnp.zeros((F, pad, X), stack.dtype)], axis=1)
+        return body
+
+    def _kernel_jvp_z(r, staged, dt):
+        (wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s) = staged
+        rv_s = gather_v(r[0].astype(dtype))
+        rm_s = gather_m(r[1].astype(dtype))
+        dt_arr = jnp.asarray([[dt]], dtype)
+        zvs, zms, avs, ams, nums, dens = call(
+            rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s, dt_arr)
+        z = (_unstack(zvs, bc + 1, Yv, Xv), _unstack(zms, bc, Ym, Xm))
+        az = (_unstack(avs, bc + 1, Yv, Xv), _unstack(ams, bc, Ym, Xm))
+        return z, az, jnp.sum(nums), jnp.sum(dens)
+
+    def prepare(w, w0, pinv):
+        """Stage sweep-invariant block stacks (once per Newton iteration)."""
+        pv, pm = pinv   # [F, F, Yv, Xv], [F, F, Ym, Xm]
+        pv_s = gather_v(pv.reshape(F * F, Yv, Xv).astype(dtype)) \
+            .reshape(nb, F, F, rows_v, Xv)
+        pm_s = gather_m(pm.reshape(F * F, Ym, Xm).astype(dtype)) \
+            .reshape(nb, F, F, rows_m, Xm)
+        return (gather_v(w[0].astype(dtype)), gather_m(w[1].astype(dtype)),
+                gather_v(w0[0].astype(dtype)), gather_m(w0[1].astype(dtype)),
+                pv_s, pm_s)
+
+    def sweep(x, r, n, staged, dt):
+        def body(carry, _):
+            x, r = carry
+            z, az, num, den = _kernel_jvp_z(r, staged, dt)
+            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                              0.0)
+            x = (x[0] + alpha * z[0], x[1] + alpha * z[1])
+            r = (r[0] - alpha * az[0], r[1] - alpha * az[1])
+            return (x, r), None
+
+        (x, r), _ = lax.scan(body, (x, r), None, length=n)
+        return x, r
+
+    return prepare, sweep

@@ -112,6 +112,20 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                                                     n_sweeps=c)
                            for c in sorted(set(chunks.values()))}
                 pallas_sweeps.append((chunks, kernels))
+            elif not bcs:
+                # whole-array kernel exceeds VMEM (6-field / 350^2 levels):
+                # fall back to the row-block-tiled sweep kernel
+                from pfhubbenchmarks_tpu.ops.pallas_tiled import (
+                    choose_block_rows, make_tiled_lmr_sweep)
+
+                bc_rows = choose_block_rows(g.ny)
+                if bc_rows is not None and bc_rows < g.ny:
+                    pallas_sweeps.append(
+                        ("tiled",) + make_tiled_lmr_sweep(
+                            g, terms, n_fields, dtype=precond_dtype,
+                            block_rows=bc_rows))
+                else:
+                    pallas_sweeps.append(None)
             else:
                 pallas_sweeps.append(None)
         else:
@@ -191,7 +205,18 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 _, jvp = jax.linearize(lambda u: res_l(u, w0l, dtl), wl)
             bj = bj_builders[l](wl, w0l, dtl)
             ops.append((jvp, bj))
-            if pallas_sweeps[l] is not None:
+            if pallas_sweeps[l] is None:
+                sweep_fns.append(None)
+            elif pallas_sweeps[l][0] == "tiled":
+                _, prep, tsweep = pallas_sweeps[l]
+                staged = prep(wl, w0l, bj.pinv_planes)
+
+                def sweep_fn(x, r, n, tsweep=tsweep, staged=staged,
+                             dtl=dtl):
+                    return tsweep(x, r, n, staged, dtl)
+
+                sweep_fns.append(sweep_fn)
+            else:
                 pinv = bj.pinv_planes
                 chunks, kernels = pallas_sweeps[l]
 
@@ -207,8 +232,6 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                     return x, r
 
                 sweep_fns.append(sweep_fn)
-            else:
-                sweep_fns.append(None)
             if l + 1 < len(grids):
                 wl = injs[l](wl)
                 w0l = injs[l](w0l)

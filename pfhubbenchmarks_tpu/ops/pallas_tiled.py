@@ -148,8 +148,8 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                + jnp.sum(am_own * rm_own))
         den = (jnp.sum(av_own * av_own * wrow)
                + jnp.sum(am_own * am_own))
-        num_o[0, 0] = num
-        den_o[0, 0] = den
+        num_o[pid, 0] = num
+        den_o[pid, 0] = den
 
     slab = lambda rows, X: pl.BlockSpec((1, F, rows, X),
                                         lambda i: (i, 0, 0, 0))
@@ -165,8 +165,8 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(slab(bc + 1, Xv), slab(bc, Xm),
                    slab(bc + 1, Xv), slab(bc, Xm),
-                   pl.BlockSpec((1, 1), lambda i: (i, 0)),
-                   pl.BlockSpec((1, 1), lambda i: (i, 0))),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),
                    jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype),
                    jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),

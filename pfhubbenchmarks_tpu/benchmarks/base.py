@@ -144,6 +144,7 @@ class BenchmarkProblem:
                 nu_post=s.gmg_nu_post, omega=s.gmg_omega,
                 coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
                 use_pallas=self._pallas_backend_ok(),
+                use_tiled_sweeps=s.use_tiled_sweeps,
             )
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,

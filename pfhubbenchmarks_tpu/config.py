@@ -85,6 +85,11 @@ class SolverConfig:
     # Fused Pallas kernels for J.v products: 'auto' enables them on TPU
     # backends when the grids fit VMEM (ops/pallas_residual.py).
     use_pallas: str = "auto"        # 'auto' | 'on' | 'off'
+    # Row-block-tiled sweep kernels (ops/pallas_tiled.py) for levels that
+    # exceed the whole-array VMEM envelope. Interpret-mode validated, but
+    # the axon remote Mosaic compiler currently SIGABRTs on the
+    # grid+in-kernel-jvp combination — opt-in until that is resolved.
+    use_tiled_sweeps: bool = False
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2

@@ -140,10 +140,10 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         rm_own = r_m[0, :, 1:bc + 1, :]
         av_own = av[:, 1:bc + 2, :]
         am_own = am[:, 1:bc + 1, :]
-        wrow = jnp.concatenate([jnp.ones((bc,), dtype),
-                                jnp.zeros((1,), dtype)]) \
-            + jnp.concatenate([jnp.zeros((bc,), dtype), jnp.ones((1,), dtype)]) * last
-        wrow = wrow[None, :, None]
+        # 2D row-weight mask (1D ops are fragile under Mosaic): the shared
+        # vertex row (slab-out row bc) counts only on the last block
+        rown = lax.broadcasted_iota(jnp.int32, (bc + 1, Xv), 0)
+        wrow = jnp.where(rown == bc, last, 1.0).astype(dtype)[None]
         num = (jnp.sum(av_own * rv_own * wrow)
                + jnp.sum(am_own * rm_own))
         den = (jnp.sum(av_own * av_own * wrow)

@@ -59,7 +59,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              dtype=None, needs_coords: bool = False, *, nu_pre: int = 2,
              nu_post: int = 2, omega: float = 0.8, coarse_sweeps: int = 24,
              max_levels: int = 10, precond_dtype=jnp.float32,
-             use_pallas: bool = False):
+             use_pallas: bool = False, use_tiled_sweeps: bool = False):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -112,9 +112,10 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                                                     n_sweeps=c)
                            for c in sorted(set(chunks.values()))}
                 pallas_sweeps.append((chunks, kernels))
-            elif not bcs:
+            elif not bcs and use_tiled_sweeps:
                 # whole-array kernel exceeds VMEM (6-field / 350^2 levels):
-                # fall back to the row-block-tiled sweep kernel
+                # fall back to the row-block-tiled sweep kernel (opt-in:
+                # the remote Mosaic compiler currently SIGABRTs on it)
                 from pfhubbenchmarks_tpu.ops.pallas_tiled import (
                     choose_block_rows, make_tiled_lmr_sweep)
 

@@ -84,7 +84,7 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                        nrows_logical=ny)
 
     def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref,
-               z_v_o, z_m_o, az_v_o, az_m_o, num_o, den_o, av_s, am_s):
+               z_v_o, z_m_o, az_v_o, az_m_o, av_s, am_s):
         pid = pl.program_id(0)
         dt = dt_ref[0, 0]
 
@@ -133,23 +133,9 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         az_v_o[0] = av[:, 1:bc + 2, :]
         az_m_o[0] = am[:, 1:bc + 1, :]
 
-        # partial reductions over owned rows, counting the shared vertex
-        # row (slab-out row bc) only on the last block
-        last = (pid == nb - 1).astype(dtype)
-        rv_own = r_v[0, :, 1:bc + 2, :]
-        rm_own = r_m[0, :, 1:bc + 1, :]
-        av_own = av[:, 1:bc + 2, :]
-        am_own = am[:, 1:bc + 1, :]
-        # 2D row-weight mask (1D ops are fragile under Mosaic): the shared
-        # vertex row (slab-out row bc) counts only on the last block
-        rown = lax.broadcasted_iota(jnp.int32, (bc + 1, Xv), 0)
-        wrow = jnp.where(rown == bc, last, 1.0).astype(dtype)[None]
-        num = (jnp.sum(av_own * rv_own * wrow)
-               + jnp.sum(am_own * rm_own))
-        den = (jnp.sum(av_own * av_own * wrow)
-               + jnp.sum(am_own * am_own))
-        num_o[pid, 0] = num
-        den_o[pid, 0] = den
+        # (the <Az,r>/<Az,Az> reductions run in XLA on the reassembled
+        # arrays — keeping them out of the kernel keeps the Mosaic surface
+        # minimal)
 
     slab = lambda rows, X: pl.BlockSpec((1, F, rows, X),
                                         lambda i: (i, 0, 0, 0))
@@ -164,15 +150,11 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                   pslab(rows_v, Xv), pslab(rows_m, Xm),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(slab(bc + 1, Xv), slab(bc, Xm),
-                   slab(bc + 1, Xv), slab(bc, Xm),
-                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+                   slab(bc + 1, Xv), slab(bc, Xm)),
         out_shape=(jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),
                    jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype),
                    jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),
-                   jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype),
-                   jax.ShapeDtypeStruct((nb, 1), dtype),
-                   jax.ShapeDtypeStruct((nb, 1), dtype)),
+                   jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype)),
         scratch_shapes=[pltpu.VMEM((F, rows_v, Xv), dtype),
                         pltpu.VMEM((F, rows_m, Xm), dtype)],
         interpret=interpret,
@@ -196,11 +178,14 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         rv_s = gather_v(r[0].astype(dtype))
         rm_s = gather_m(r[1].astype(dtype))
         dt_arr = jnp.asarray([[dt]], dtype)
-        zvs, zms, avs, ams, nums, dens = call(
+        zvs, zms, avs, ams = call(
             rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s, dt_arr)
         z = (_unstack(zvs, bc + 1, Yv, Xv), _unstack(zms, bc, Ym, Xm))
         az = (_unstack(avs, bc + 1, Yv, Xv), _unstack(ams, bc, Ym, Xm))
-        return z, az, jnp.sum(nums), jnp.sum(dens)
+        num = (jnp.sum(az[0] * r[0].astype(dtype))
+               + jnp.sum(az[1] * r[1].astype(dtype)))
+        den = jnp.sum(az[0] * az[0]) + jnp.sum(az[1] * az[1])
+        return z, az, num, den
 
     def prepare(w, w0, pinv):
         """Stage sweep-invariant block stacks (once per Newton iteration)."""

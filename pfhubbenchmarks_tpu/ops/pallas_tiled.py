@@ -83,9 +83,16 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
     gather_m = partial(_row_gather, nb=nb, bc=bc, rows=rows_m,
                        nrows_logical=ny)
 
-    def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref,
+    # The kernel is a PLAIN whole-slab pallas_call (the known-good shape of
+    # ops/pallas_residual.py); the block loop runs as a host-level lax.map
+    # over the stacked slabs. A grid=(nb,) version of the same kernel
+    # SIGABRTs the remote Mosaic compiler (in-kernel jax.jvp under a grid —
+    # bisected r2); sequential per-block launches cost ~nb kernel-launch
+    # overheads per sweep, still far below the ~25 unfused XLA ops they
+    # replace. The block index arrives as an SMEM scalar.
+    def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref, idx_ref,
                z_v_o, z_m_o, az_v_o, az_m_o, av_s, am_s):
-        pid = pl.program_id(0)
+        pid = idx_ref[0, 0]
         dt = dt_ref[0, 0]
 
         def bj(pref, rref):
@@ -93,7 +100,7 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
             for i in range(F):
                 acc = None
                 for j in range(F):
-                    t = pref[0, i, j] * rref[0, j]
+                    t = pref[i, j] * rref[j]
                     acc = t if acc is None else acc + t
                 out.append(acc)
             return jnp.stack(out)
@@ -101,9 +108,9 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         zv = bj(pv, r_v)      # [F, rows_v, Xv]
         zm = bj(pm, r_m)
 
-        w_blk = (w_v[0], w_m[0])
+        w_blk = (w_v[:], w_m[:])
         z_blk = (zv, zm)
-        _, acc = jax.jvp(lambda u: resid_blk(u, (w0_v[0], w0_m[0]), dt),
+        _, acc = jax.jvp(lambda u: resid_blk(u, (w0_v[:], w0_m[:]), dt),
                          (w_blk,), (z_blk,))
         # acc: [5][F] planes of [rows_c, nx] tangent contributions.
         # Mask the fake halo cell rows at the domain edges: block 0's local
@@ -128,37 +135,40 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         am = am_s[:]
 
         # owned slices: vertex local rows [1, bc+2), center [1, bc+1)
-        z_v_o[0] = zv[:, 1:bc + 2, :]
-        z_m_o[0] = zm[:, 1:bc + 1, :]
-        az_v_o[0] = av[:, 1:bc + 2, :]
-        az_m_o[0] = am[:, 1:bc + 1, :]
+        z_v_o[:] = zv[:, 1:bc + 2, :]
+        z_m_o[:] = zm[:, 1:bc + 1, :]
+        az_v_o[:] = av[:, 1:bc + 2, :]
+        az_m_o[:] = am[:, 1:bc + 1, :]
 
         # (the <Az,r>/<Az,Az> reductions run in XLA on the reassembled
         # arrays — keeping them out of the kernel keeps the Mosaic surface
         # minimal)
 
-    slab = lambda rows, X: pl.BlockSpec((1, F, rows, X),
-                                        lambda i: (i, 0, 0, 0))
-    pslab = lambda rows, X: pl.BlockSpec((1, F, F, rows, X),
-                                         lambda i: (i, 0, 0, 0, 0))
-    call = pl.pallas_call(
+    blk_call = pl.pallas_call(
         kernel,
-        grid=(nb,),
-        in_specs=[slab(rows_v, Xv), slab(rows_m, Xm),
-                  slab(rows_v, Xv), slab(rows_m, Xm),
-                  slab(rows_v, Xv), slab(rows_m, Xm),
-                  pslab(rows_v, Xv), pslab(rows_m, Xm),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(slab(bc + 1, Xv), slab(bc, Xm),
-                   slab(bc + 1, Xv), slab(bc, Xm)),
-        out_shape=(jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),
-                   jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype),
-                   jax.ShapeDtypeStruct((nb, F, bc + 1, Xv), dtype),
-                   jax.ShapeDtypeStruct((nb, F, bc, Xm), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(4)),
+        out_shape=(jax.ShapeDtypeStruct((F, bc + 1, Xv), dtype),
+                   jax.ShapeDtypeStruct((F, bc, Xm), dtype),
+                   jax.ShapeDtypeStruct((F, bc + 1, Xv), dtype),
+                   jax.ShapeDtypeStruct((F, bc, Xm), dtype)),
         scratch_shapes=[pltpu.VMEM((F, rows_v, Xv), dtype),
                         pltpu.VMEM((F, rows_m, Xm), dtype)],
         interpret=interpret,
     )
+
+    def call(rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s, dt_arr):
+        idxs = jnp.arange(nb, dtype=jnp.int32).reshape(nb, 1, 1)
+
+        def per_block(args):
+            rv, rm, wv, wm, w0v, w0m, pvb, pmb, idx = args
+            return blk_call(rv, rm, wv, wm, w0v, w0m, pvb, pmb,
+                            dt_arr, idx)
+
+        return lax.map(per_block, (rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s,
+                                   pv_s, pm_s, idxs))
 
     def _unstack(stack, rows_owned, Y, X):
         """[nb, F, rows_owned, X] -> [F, Y, X]; blocks own rows [0, bc),

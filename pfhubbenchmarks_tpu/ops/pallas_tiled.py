@@ -90,9 +90,8 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
     # bisected r2); sequential per-block launches cost ~nb kernel-launch
     # overheads per sweep, still far below the ~25 unfused XLA ops they
     # replace. The block index arrives as an SMEM scalar.
-    def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref, idx_ref,
+    def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, mask_ref, dt_ref,
                z_v_o, z_m_o, az_v_o, az_m_o, av_s, am_s):
-        pid = idx_ref[0, 0]
         dt = dt_ref[0, 0]
 
         def bj(pref, rref):
@@ -113,14 +112,11 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         _, acc = jax.jvp(lambda u: resid_blk(u, (w0_v[:], w0_m[:]), dt),
                          (w_blk,), (z_blk,))
         # acc: [5][F] planes of [rows_c, nx] tangent contributions.
-        # Mask the fake halo cell rows at the domain edges: block 0's local
-        # cell row 0 and the last block's local row bc+1 don't exist.
-        rr = lax.broadcasted_iota(jnp.int32, (rows_c, nx), 0)
-        first_fake = (pid == 0)
-        last_fake = (pid == nb - 1)
-        mask = jnp.where((rr == 0) & first_fake, 0.0,
-                         jnp.where((rr == rows_c - 1) & last_fake, 0.0, 1.0)
-                         ).astype(dtype)
+        # The fake halo cell rows at the domain edges (block 0's local cell
+        # row 0, the last block's local row bc+1) are zeroed by a
+        # host-precomputed per-block mask plane (in-kernel iota/bool masking
+        # is another Mosaic-fragility surface).
+        mask = mask_ref[:, :nx]
         # scatter into slab scratch refs (read-modify-write slice updates;
         # Mosaic rejects value-level scatter-add)
         av_s[:] = jnp.zeros_like(av_s)
@@ -146,8 +142,8 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
 
     blk_call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(4)),
         out_shape=(jax.ShapeDtypeStruct((F, bc + 1, Xv), dtype),
@@ -159,16 +155,19 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         interpret=interpret,
     )
 
-    def call(rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s, dt_arr):
-        idxs = jnp.arange(nb, dtype=jnp.int32).reshape(nb, 1, 1)
+    # per-block edge masks, host-precomputed
+    _masks = np.ones((nb, rows_c, Xm), np.float32)
+    _masks[0, 0, :] = 0.0
+    _masks[nb - 1, rows_c - 1, :] = 0.0
+    _masks = jnp.asarray(_masks, dtype)
 
+    def call(rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s, dt_arr):
         def per_block(args):
-            rv, rm, wv, wm, w0v, w0m, pvb, pmb, idx = args
-            return blk_call(rv, rm, wv, wm, w0v, w0m, pvb, pmb,
-                            dt_arr, idx)
+            rv, rm, wv, wm, w0v, w0m, pvb, pmb, mk = args
+            return blk_call(rv, rm, wv, wm, w0v, w0m, pvb, pmb, mk, dt_arr)
 
         return lax.map(per_block, (rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s,
-                                   pv_s, pm_s, idxs))
+                                   pv_s, pm_s, _masks))
 
     def _unstack(stack, rows_owned, Y, X):
         """[nb, F, rows_owned, X] -> [F, Y, X]; blocks own rows [0, bc),

@@ -86,10 +86,11 @@ class SolverConfig:
     # backends when the grids fit VMEM (ops/pallas_residual.py).
     use_pallas: str = "auto"        # 'auto' | 'on' | 'off'
     # Row-block-tiled sweep kernels (ops/pallas_tiled.py) for levels that
-    # exceed the whole-array VMEM envelope. Interpret-mode validated, but
-    # the axon remote Mosaic compiler currently SIGABRTs on the
-    # grid+in-kernel-jvp combination — opt-in until that is resolved.
-    use_tiled_sweeps: bool = False
+    # exceed the whole-array VMEM envelope (bench2's 6-field fine level,
+    # bench3's 350^2): lax.map over per-block kernels with host-precomputed
+    # edge masks (in-kernel iota/bool masking SIGABRTs the remote Mosaic
+    # compiler). Measured: bench3 51->40 s, bench2 55->44 s.
+    use_tiled_sweeps: bool = True
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2

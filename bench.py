@@ -80,13 +80,21 @@ def main() -> None:
         # 8-rank SOR partitioning (unreproducible in principle — see
         # ROADMAP parity notes), so solution parity is measured by solving
         # the same implicit-Euler steps on its committed grid.
-        replay = timeloop.run(problem, time_grid=ref[:, 0], verbose=False,
-                              _runner=runner)
-        nrep = len(replay.rows)
-        out["replay_rows"] = nrep
-        out["tfe_relerr_ref_grid"] = float(
-            (np.abs(replay.rows[:, 1] - ref[:nrep, 1])
-             / np.abs(ref[:nrep, 1])).max())
+        # replay_partial + substep fallback: a rescue-ladder failure on one
+        # replayed step must not kill the run AFTER the timed result exists —
+        # bench.py's contract is one JSON line, unattended (ADVICE round 2).
+        try:
+            replay = timeloop.run(problem, time_grid=ref[:, 0], verbose=False,
+                                  replay_partial=True,
+                                  replay_substep_fallback=True,
+                                  _runner=runner)
+            nrep = len(replay.rows)
+            out["replay_rows"] = nrep
+            out["tfe_relerr_ref_grid"] = float(
+                (np.abs(replay.rows[:, 1] - ref[:nrep, 1])
+                 / np.abs(ref[:nrep, 1])).max())
+        except Exception as e:  # primary metric still gets emitted
+            out["replay_error"] = f"{type(e).__name__}: {e}"
         n = min(len(rows), len(ref))
         match = np.isclose(rows[:n, 0], ref[:n, 0], rtol=1e-9)
         k = int(np.argmin(match)) if not match.all() else n

@@ -132,7 +132,8 @@ def main(name: str, argv=None) -> None:
                                  "--save-fields (per-step host hooks)")
             result = timeloop.run_fused(
                 problem, end_time=args.end_time,
-                max_rows=args.max_steps or 512, **resume_kwargs)
+                max_rows=args.max_steps or 512,
+                allow_partial=args.max_steps is not None, **resume_kwargs)
         else:
             time_grid = None
             if args.replay:

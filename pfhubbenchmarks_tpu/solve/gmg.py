@@ -114,8 +114,10 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 pallas_sweeps.append((chunks, kernels))
             elif not bcs and use_tiled_sweeps:
                 # whole-array kernel exceeds VMEM (6-field / 350^2 levels):
-                # fall back to the row-block-tiled sweep kernel (opt-in:
-                # the remote Mosaic compiler currently SIGABRTs on it)
+                # fall back to the row-block-tiled sweep kernel (on by
+                # default; its lax.map-over-plain-kernels design exists
+                # precisely because the abandoned grid=(nb,) variant
+                # SIGABRTed the remote Mosaic compiler — ROADMAP.md)
                 from pfhubbenchmarks_tpu.ops.pallas_tiled import (
                     choose_block_rows, make_tiled_lmr_sweep)
 

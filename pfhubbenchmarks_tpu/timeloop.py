@@ -129,7 +129,7 @@ class Runner:
             return ((s["t"] < s["end_time"] + _EPS)
                     & (s["nrows"] < max_rows)
                     & (~s["aborted"])
-                    & (s["fails_at_min"] <= max_retries_at_dt_min))
+                    & (~s["stalled"]))
 
         def body(s):
             res = newton(s["w"], s["w"], s["dt"])
@@ -150,6 +150,13 @@ class Runner:
                                         s["dt"]))
             dt_fail = jnp.maximum(0.5 * s["dt"], tc.dt_min)
             at_min = s["dt"] <= tc.dt_min * (1 + 1e-12)
+            # host-loop stall semantics (timeloop.run): `retries` counts ALL
+            # failed attempts within the current step (including pre-dt_min
+            # ones), and the run dies when a failure at dt_min pushes that
+            # count past max_retries_at_dt_min. Mirror it exactly: count
+            # every failure since the last accepted step, raise the stalled
+            # flag only when the failing attempt ran at dt_min.
+            fails = jnp.where(conv, 0, s["fails"] + 1)
             return dict(
                 s,
                 w=w,
@@ -157,9 +164,10 @@ class Runner:
                 dt=jnp.where(conv, dt_ok, dt_fail),
                 rows=rows,
                 nrows=s["nrows"] + conv.astype(jnp.int32),
-                fails_at_min=jnp.where(conv, 0,
-                                       s["fails_at_min"]
-                                       + (at_min & ~conv).astype(jnp.int32)),
+                fails=fails,
+                stalled=(s["stalled"]
+                         | (~conv & at_min
+                            & (fails > max_retries_at_dt_min))),
                 # abort rows are recorded, then the loop stops (host-loop
                 # semantics: append the row, break)
                 aborted=(s["aborted"]
@@ -181,7 +189,8 @@ class Runner:
                 rows=jnp.zeros((max_rows, ncols), ftype),
                 nrows=jnp.array(0, jnp.int32),
                 aborted=jnp.array(False),
-                fails_at_min=jnp.array(0, jnp.int32),
+                stalled=jnp.array(False),
+                fails=jnp.array(0, jnp.int32),
                 attempts=jnp.array(0, jnp.int32),
                 newton_iters=jnp.array(0, jnp.int32),
                 krylov_iters=jnp.array(0, jnp.int32),
@@ -385,6 +394,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
 def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
               max_rows: int = 512, max_retries_at_dt_min: int = 60,
               state0=None, t0: float | None = None, dt0: float | None = None,
+              allow_partial: bool = False,
               _runner: "Runner | None" = None) -> RunResult:
     """The whole adaptive run as ONE device dispatch.
 
@@ -420,10 +430,20 @@ def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
                 jnp.asarray(dt_init, jnp.float64),
                 jnp.asarray(end_time, jnp.float64))
     n = int(out["nrows"])
-    if int(out["fails_at_min"]) > max_retries_at_dt_min:
+    if bool(out["stalled"]):
         raise RuntimeError(
             f"{problem.name}: fused run stalled at dt_min={tc.dt_min} "
-            f"after {int(out['fails_at_min'])} failures")
+            f"after {int(out['fails'])} failed attempts")
+    # a full row buffer with time left is truncation, not completion — the
+    # host loop would have kept stepping (ADVICE round 2, medium). Callers
+    # that WANT a step-capped run (tests, --max-steps) pass allow_partial.
+    if (not allow_partial and n >= max_rows
+            and float(out["t"]) < end_time - _EPS
+            and not bool(out["aborted"])):
+        raise RuntimeError(
+            f"{problem.name}: fused run filled the {max_rows}-row buffer at "
+            f"t={float(out['t']):.6g} < end_time={end_time:.6g}; rerun with "
+            f"a larger max_rows (or allow_partial=True for a capped run)")
     rows = np.asarray(out["rows"])[:n]
     # aggregate stats in one StepStats-shaped record (per-step detail is the
     # host loop's job; the fused loop reports totals)

@@ -10,7 +10,7 @@ from pfhubbenchmarks_tpu.benchmarks import get_benchmark
 def test_run_fused_matches_host_loop_bench1():
     problem = get_benchmark("bench1", nx=16, ny=16)
     host = timeloop.run(problem, max_steps=8, verbose=False)
-    fused = timeloop.run_fused(problem, max_rows=8)
+    fused = timeloop.run_fused(problem, max_rows=8, allow_partial=True)
     assert len(fused.rows) == len(host.rows)
     np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
     np.testing.assert_allclose(np.asarray(fused.state[0]),
@@ -24,7 +24,7 @@ def test_run_fused_matches_host_loop_bench1():
 def test_run_fused_matches_host_loop_bench6_dirichlet():
     problem = get_benchmark("bench6", nx=16, ny=16)
     host = timeloop.run(problem, max_steps=5, verbose=False)
-    fused = timeloop.run_fused(problem, max_rows=5)
+    fused = timeloop.run_fused(problem, max_rows=5, allow_partial=True)
     assert len(fused.rows) == len(host.rows)
     np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
 
@@ -39,7 +39,7 @@ def test_hysteresis_dt_rule_host_and_fused():
     host = timeloop.run(problem, max_steps=5, verbose=False)
     # every solve takes 1-4 iterations here: inside the band -> dt constant
     assert all(s.dt == host.stats[0].dt for s in host.stats)
-    fused = timeloop.run_fused(problem, max_rows=5)
+    fused = timeloop.run_fused(problem, max_rows=5, allow_partial=True)
     np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
 
 
@@ -60,7 +60,7 @@ def test_run_fused_bench3_abort_device_matches_host():
     problem = get_benchmark("bench3", nx=32, ny=32)
     assert problem.abort_condition is not None
     host = timeloop.run(problem, max_steps=4, verbose=False)
-    fused = timeloop.run_fused(problem, max_rows=4)
+    fused = timeloop.run_fused(problem, max_rows=4, allow_partial=True)
     np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
 
 

@@ -98,8 +98,13 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         # gmg_nu 3/3: measured optimum on the fused V-cycle kernel (TPU nu
         # scan: krylov iters 8808->7812, wall 4.04->3.79 s; trajectory and
         # Newton counts identical across nu, so parity is unaffected)
+        # precond_rule dunavant2: the V-cycle preconditions a 3-point-rule
+        # rediscretization — iteration counts measured identical (r3 CPU
+        # lab: krylov 457 -> 453 over 8 steps, Newton counts and time grid
+        # unchanged); dunavant1 collapses the CH mass term (krylov x4.9).
         **{"solver": SolverConfig(line_search="basic", report_atol=2.6e-5,
-                                  gmg_nu_pre=3, gmg_nu_post=3),
+                                  gmg_nu_pre=3, gmg_nu_post=3,
+                                  precond_rule="dunavant2"),
            **overrides},
     )
 

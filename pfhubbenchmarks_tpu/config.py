@@ -92,6 +92,14 @@ class SolverConfig:
     # compiler). Measured: bench3 51->40 s, bench2 55->44 s.
     use_tiled_sweeps: bool = True
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
+    # Quadrature rule for the PRECONDITIONER's operator only (V-cycle J.v,
+    # smoothers, block inverses). The outer Newton residual and Krylov
+    # matvec keep the FFC-parity 'ffc3' rule (4 pts/triangle), so converged
+    # solutions are bit-identical; the V-cycle merely approximates the
+    # inverse of a 1-point-rule rediscretization ('dunavant1') — ~4x fewer
+    # physics evaluations and FMA ladders per sweep. None = same rule as
+    # the residual.
+    precond_rule: str | None = None
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2
     gmg_nu_post: int = 2

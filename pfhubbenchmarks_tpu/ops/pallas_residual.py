@@ -114,12 +114,17 @@ def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
     """Feasibility guard for whole-array kernels vs the 16 MB scoped VMEM.
 
     Calibrated against Mosaic's measured stack usage (in TILED plane units
-    T = one (8,128)-padded field slab):
+    T = one (8,128)-padded field slab); the nq-dependent parts scale with
+    the quadrature point count (4 for the ffc3 residual rule, 1 for the
+    'dunavant1' reduced preconditioner rule, config.SolverConfig.precond_rule):
 
-      jvp kernel:   ~85 * F * T       (6F/100^2: 26.2 MB; 2F/100^2: 8.7 MB)
-      sweep kernel: ~66 * F * T + 15 * F^2 * T   (the F^2 term is the
-                    node-block inverse planes; 3F/100^2: 17.6 MB,
-                    6F/50^2: 26.6 MB — both measured)
+      jvp kernel:   ~(25 + 15 nq) * F * T   (nq=4 -> 85 F T:
+                    6F/100^2: 26.2 MB; 2F/100^2: 8.7 MB — both measured)
+      sweep kernel: unrolled-chunk variant; measured OOMs don't fit a clean
+                    model (3F/100^2: 17.6 MB, 6F/50^2: 26.6 MB,
+                    6F/25^2: 22.4 MB); conservative: 2-field only
+      sweep_loop:   single fori_loop body: ~(30 + 14 nq) F T + 6 F^2 T
+                    (r3 calibration: see .scratch/vmem_calib results)
     """
     T = _tiled_slab_bytes(grid, dtype_bytes)
     if kernel == "vcycle":
@@ -128,14 +133,13 @@ def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
         # at the fine level + persistent level arrays; the lane-padded
         # coarser levels add ~60% of the fine footprint. Initial estimate,
         # tightened against measurement on TPU.
-        return (66 * n_fields + 15 * n_fields ** 2) * T * 1.3 < budget
+        return ((30 + 9 * nq) * n_fields + 15 * n_fields ** 2) * T * 1.3 < budget
     if kernel == "sweep":
-        # Measured sweep-kernel stacks do not fit a clean (F, T) model
-        # (3F/100^2: 17.6 MB, 6F/50^2: 26.6 MB, 6F/25^2: 22.4 MB — all OOM;
-        # 2F/100^2 and below compile). Conservative empirical rule: 2-field
-        # systems only, within the jvp envelope.
-        return n_fields <= 2 and 85 * n_fields * T < budget
-    need = 85 * n_fields * T
+        return n_fields <= 2 and (25 + 15 * nq) * n_fields * T < budget
+    if kernel == "sweep_loop":
+        need = (30 + 14 * nq) * n_fields * T + 6 * n_fields ** 2 * T
+        return need < budget
+    need = (25 + 15 * nq) * n_fields * T
     return need < budget
 
 
@@ -220,6 +224,87 @@ def make_pallas_residual(grid: CrossedTriGrid, terms, n_fields: int,
             w[0], w[1], w0[0], w0[1], dt_arr)
 
     return res_fn
+
+
+def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
+                               dtype=jnp.float32, n_sweeps: int = 1):
+    """Whole smoothing phase as ONE kernel with the sweeps under
+    ``lax.fori_loop`` — a single traced J.v body regardless of sweep count
+    (the unrolled-chunk variant ``make_pallas_lmr_sweep`` grows the Mosaic
+    scoped-VMEM stack with every unrolled sweep, capping it at 2-field
+    systems; the loop form is what lets 6-field coarse levels run their full
+    24-sweep coarse solve in one launch instead of ~600 unfused XLA ops).
+
+    Same contract as ``make_pallas_lmr_sweep``.
+    """
+    residual = _scalar_assembly(grid, terms, n_fields)
+    ny, nx = grid.ny, grid.nx
+    F = n_fields
+
+    from jax import lax
+
+    def kernel(x_v, x_m, r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref,
+               ox_v, ox_m, or_v, or_m, az_v, az_m):
+        dt = dt_ref[0, 0]
+        w = (w_v[:], w_m[:])
+        w0 = (w0_v[:], w0_m[:])
+
+        def body(_, carry):
+            xv, xm, rv, rm = carry
+            z_v, z_m = [], []
+            for i in range(F):
+                av = am = None
+                for j in range(F):
+                    tv = pv[i, j] * rv[j]
+                    tm = pm[i, j] * rm[j]
+                    av = tv if av is None else av + tv
+                    am = tm if am is None else am + tm
+                z_v.append(av)
+                z_m.append(am)
+            z = (jnp.stack(z_v), jnp.stack(z_m))
+            _, az_planes = jax.jvp(lambda u: residual(u, w0, dt), (w,), (z,))
+            _scatter_refs(az_planes, az_v, az_m, F, ny, nx)
+            Az_v = az_v[:]
+            Az_m = az_m[:]
+            num = jnp.sum(Az_v * rv) + jnp.sum(Az_m * rm)
+            den = jnp.sum(Az_v * Az_v) + jnp.sum(Az_m * Az_m)
+            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+            return (xv + alpha * z[0], xm + alpha * z[1],
+                    rv - alpha * Az_v, rm - alpha * Az_m)
+
+        xv, xm, rv, rm = lax.fori_loop(
+            0, n_sweeps, body, (x_v[:], x_m[:], r_v[:], r_m[:]))
+        ox_v[:] = xv
+        ox_m[:] = xm
+        or_v[:] = rv
+        or_m[:] = rm
+
+    Yv, Xv = grid.vshape
+    Ym, Xm = grid.mshape
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def sweep(x, r, w, w0, dt, pinv_v, pinv_m, interpret=False):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        ox_v, ox_m, or_v, or_m = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                jax.ShapeDtypeStruct((F, Ym, Xm), dtype),
+                jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                jax.ShapeDtypeStruct((F, Ym, Xm), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(4)),
+            scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
+                            pltpu.VMEM((F, Ym, Xm), dtype)],
+            interpret=interpret,
+        )(x[0], x[1], r[0], r[1], w[0], w[1], w0[0], w0[1], pinv_v, pinv_m,
+          dt_arr)
+        return (ox_v, ox_m), (or_v, or_m)
+
+    return sweep
 
 
 def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,

@@ -43,6 +43,26 @@ def choose_block_rows(ny: int, target: int = 32) -> int | None:
     return None
 
 
+def choose_block_rows_vmem(grid: CrossedTriGrid, n_fields: int, nq: int,
+                           budget: int = 15 * 2**20) -> int | None:
+    """Largest divisor-of-ny block whose slab kernel fits scoped VMEM.
+
+    Bigger blocks mean fewer per-sweep kernel launches (the dominant tiled
+    overhead — lax.map serializes them); the reduced preconditioner
+    quadrature (nq=1/3) shrinks the in-kernel jvp trace, so blocks can be
+    far taller than the fixed target=32 heuristic allowed. Coefficients
+    calibrated by TPU compile probes (r3, .scratch/vmem_calib.log: 2F/350²
+    nq=3 compiles at bc=70; 6F/100² nq=1 at bc=50)."""
+    F = n_fields
+    for bc in (d for d in range(grid.ny // 2, 3, -1) if grid.ny % d == 0):
+        y = -(-(bc + 3) // 8) * 8
+        x = -(-(grid.nx + 1) // 128) * 128
+        T_b = y * x * 4
+        if ((20 + 10 * nq) * F + 4 * F * F) * T_b < budget:
+            return bc
+    return None
+
+
 def _row_gather(a, nb, bc, rows, nrows_logical):
     """[F, Y, X] -> [nb, F, rows, X]; block b covers global rows
     [b*bc - 1, b*bc - 1 + rows); out-of-range rows are zeros."""

@@ -34,20 +34,34 @@ from pfhubbenchmarks_tpu.fem.assembly import make_residual
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 from pfhubbenchmarks_tpu.solve import tree as tr
 from pfhubbenchmarks_tpu.solve.precond import make_block_jacobi
-from pfhubbenchmarks_tpu.solve.transfer import inject_state, prolong, restrict
+from pfhubbenchmarks_tpu.solve.transfer import (inject_any, prolong_any,
+                                                restrict_any)
 
 
-def coarsen_grid(g: CrossedTriGrid) -> CrossedTriGrid:
-    return dataclasses.replace(g, nx=g.nx // 2, ny=g.ny // 2)
+def coarsen_grid(g: CrossedTriGrid, r: int = 2) -> CrossedTriGrid:
+    return dataclasses.replace(g, nx=g.nx // r, ny=g.ny // r)
+
+
+# coarsening ratios tried in order at each level: prefer dyadic (best
+# two-grid convergence, hand-optimized strided transfers), fall back to odd
+# ratios when the cell count is odd — e.g. bench3's 350² (= 2·5²·7 squared)
+# coarsens 350 → 175 → 35 → 7 instead of stopping at 175, which previously
+# left a 175² "coarse" level that 24 LMR sweeps neither solved nor made
+# cheap (round-2 VERDICT: bench3 ~2x baseline).
+_RATIOS = (2, 3, 5, 7)
 
 
 def build_hierarchy(grid: CrossedTriGrid, max_levels: int = 10,
-                    min_cells: int = 8) -> list[CrossedTriGrid]:
+                    min_cells: int = 7) -> list[CrossedTriGrid]:
     grids = [grid]
-    while (len(grids) < max_levels
-           and grids[-1].nx % 2 == 0 and grids[-1].ny % 2 == 0
-           and grids[-1].nx // 2 >= min_cells and grids[-1].ny // 2 >= min_cells):
-        grids.append(coarsen_grid(grids[-1]))
+    while len(grids) < max_levels:
+        g = grids[-1]
+        r = next((r for r in _RATIOS
+                  if g.nx % r == 0 and g.ny % r == 0
+                  and g.nx // r >= min_cells and g.ny // r >= min_cells), None)
+        if r is None:
+            break
+        grids.append(coarsen_grid(g, r))
     return grids
 
 
@@ -59,7 +73,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              dtype=None, needs_coords: bool = False, *, nu_pre: int = 2,
              nu_post: int = 2, omega: float = 0.8, coarse_sweeps: int = 24,
              max_levels: int = 10, precond_dtype=jnp.float32,
-             use_pallas: bool = False, use_tiled_sweeps: bool = False):
+             use_pallas: bool = False, use_tiled_sweeps: bool = False,
+             precond_rule: str | None = None):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -71,6 +86,11 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     dtype = dtype or jnp.float64
     dirichlet_for = dirichlet_for or (lambda g: ())
     grids = build_hierarchy(grid, max_levels=max_levels)
+    if precond_rule:
+        # cheap-quadrature rediscretization for the whole hierarchy: grid
+        # shapes/transfers are rule-independent, only the per-level operators
+        # (residuals, block inverses, Pallas kernels) see the reduced rule
+        grids = [dataclasses.replace(g, rule_name=precond_rule) for g in grids]
     residuals = []
     bj_builders = []
     pallas_jvs = []
@@ -87,12 +107,16 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                                              needs_coords=needs_coords))
         if use_pallas and not needs_coords:
             from pfhubbenchmarks_tpu.ops.pallas_residual import (
-                fits_vmem, make_pallas_jvp, make_pallas_lmr_sweep)
+                fits_vmem, make_pallas_jvp, make_pallas_lmr_sweep,
+                make_pallas_lmr_sweep_loop)
 
-            ok = fits_vmem(g, n_fields)
+            nq_g = g.tab().nq
+            ok = fits_vmem(g, n_fields, nq=nq_g)
             pallas_jvs.append(
                 make_pallas_jvp(g, terms, n_fields, dtype=precond_dtype)
                 if ok else None)
+            counts = sorted({nu_pre, nu_post, coarse_sweeps})
+
             # fused multi-sweep kernels: unroll is capped per kernel (the
             # Mosaic stack grows with unrolled sweep count) and smoothing
             # phases scan whole-chunk kernel calls
@@ -102,11 +126,18 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                         return c
                 return 1
 
-            counts = sorted({nu_pre, nu_post, coarse_sweeps})
             chunks = {n: _chunk(n) for n in counts}
             max_chunk = max(chunks.values())
-            if ok and not bcs and fits_vmem(g, n_fields, nq=max_chunk,
-                                            kernel="sweep"):
+            if not bcs and fits_vmem(g, n_fields, nq=nq_g,
+                                     kernel="sweep_loop"):
+                # whole smoothing PHASE in one kernel (fori_loop body) —
+                # the only whole-array form that fits >2-field systems
+                kernels = {n: make_pallas_lmr_sweep_loop(
+                    g, terms, n_fields, dtype=precond_dtype, n_sweeps=n)
+                    for n in counts}
+                pallas_sweeps.append(("loop", kernels))
+            elif ok and not bcs and fits_vmem(g, n_fields, nq=4,
+                                              kernel="sweep"):
                 kernels = {c: make_pallas_lmr_sweep(g, terms, n_fields,
                                                     dtype=precond_dtype,
                                                     n_sweeps=c)
@@ -119,9 +150,9 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 # precisely because the abandoned grid=(nb,) variant
                 # SIGABRTed the remote Mosaic compiler — ROADMAP.md)
                 from pfhubbenchmarks_tpu.ops.pallas_tiled import (
-                    choose_block_rows, make_tiled_lmr_sweep)
+                    choose_block_rows_vmem, make_tiled_lmr_sweep)
 
-                bc_rows = choose_block_rows(g.ny)
+                bc_rows = choose_block_rows_vmem(g, n_fields, nq_g)
                 if bc_rows is not None and bc_rows < g.ny:
                     pallas_sweeps.append(
                         ("tiled",) + make_tiled_lmr_sweep(
@@ -134,22 +165,26 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         else:
             pallas_jvs.append(None)
             pallas_sweeps.append(None)
-    Ps = [prolong(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
-    Rs = [restrict(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
-    injs = [inject_state(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    Ps = [prolong_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    Rs = [restrict_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    injs = [inject_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    all_dyadic = all(grids[l].ny == 2 * grids[l + 1].ny
+                     for l in range(len(grids) - 1))
 
     # whole-V-cycle fusion: ONE pallas_call per preconditioner application
     # (ops/pallas_vcycle.py) — the round-2 answer to ROADMAP perf item 1.
     # Gated on: Dirichlet-free (J.v row replacement isn't done in-kernel),
-    # no coordinate-dependent terms, >=2 levels, fine level within the
-    # Mosaic scoped-VMEM envelope.
+    # no coordinate-dependent terms, >=2 levels, all-dyadic transfers (the
+    # in-kernel MXU transfer matrices encode the R=2 stencil), fine level
+    # within the Mosaic scoped-VMEM envelope.
     fused = None
-    if (use_pallas and not needs_coords and len(grids) >= 2
+    if (use_pallas and not needs_coords and len(grids) >= 2 and all_dyadic
             and all(not b for b in level_bcs)):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
 
-        if fits_vmem(grids[0], n_fields, kernel="vcycle"):
+        if fits_vmem(grids[0], n_fields, nq=grids[0].tab().nq,
+                     kernel="vcycle"):
             fused = make_fused_vcycle(
                 grids, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
                 coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
@@ -210,6 +245,15 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             ops.append((jvp, bj))
             if pallas_sweeps[l] is None:
                 sweep_fns.append(None)
+            elif pallas_sweeps[l][0] == "loop":
+                _, loop_kernels = pallas_sweeps[l]
+                pinv = bj.pinv_planes
+
+                def sweep_fn(x, r, n, kernels=loop_kernels, pinv=pinv,
+                             wl=wl, w0l=w0l, dtl=dtl):
+                    return kernels[n](x, r, wl, w0l, dtl, pinv[0], pinv[1])
+
+                sweep_fns.append(sweep_fn)
             elif pallas_sweeps[l][0] == "tiled":
                 _, prep, tsweep = pallas_sweeps[l]
                 staged = prep(wl, w0l, bj.pinv_planes)

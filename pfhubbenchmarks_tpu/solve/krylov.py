@@ -329,20 +329,27 @@ def bicgstab(matvec, b, x0=None, Minv=None, *, rtol=1e-5, atol=1e-50,
 
 
 def richardson(matvec, b, x0=None, Minv=None, *, rtol=1e-5, atol=1e-50,
-               maxiter=1000, stall_window=8, **_) -> KrylovResult:
+               maxiter=1000, stall_window=8, resync_every=16,
+               **_) -> KrylovResult:
     """Preconditioned Richardson iteration: x += M(b - Ax).
 
     With a strong V-cycle preconditioner this needs a similar iteration
-    count to FGMRES but each iteration is ~half the device ops (no basis
-    dots/combs, no Givens machinery). Stops on the true residual like
-    FGMRES; gives up when ``stall_window`` iterations improve the residual
-    by <10% (the Newton layer treats no-progress solves as dt failures).
+    count to FGMRES but each iteration is a fraction of the device ops: no
+    basis dots/combs, no Givens machinery — when the preconditioner exposes
+    the fused ``minv_matvec`` pair (solve/gmg.py), one iteration is ONE
+    kernel launch plus two axpys and a norm, with the residual updated
+    incrementally (r ← r − A z). Every ``resync_every`` iterations the true
+    residual ``b − Ax`` is recomputed to stop f32 incremental drift from
+    faking convergence. Gives up when ``stall_window`` iterations improve
+    the residual by <10% (the Newton layer treats no-progress solves as dt
+    failures).
     """
     Minv = Minv or _identity
     x0 = x0 if x0 is not None else tr.zeros_like(b)
     bnorm = tr.norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
     r0 = tr.sub(b, matvec(x0))
+    minv_matvec = getattr(Minv, "minv_matvec", None)
 
     state0 = dict(x=x0, r=r0, res=tr.norm(r0), window0=tr.norm(r0),
                   it=jnp.array(0, jnp.int32), done=tr.norm(r0) <= tol)
@@ -351,11 +358,18 @@ def richardson(matvec, b, x0=None, Minv=None, *, rtol=1e-5, atol=1e-50,
         return ~s["done"] & (s["it"] < maxiter)
 
     def body(s):
-        z = Minv(s["r"])
+        if minv_matvec is not None:
+            z, az = minv_matvec(s["r"])
+        else:
+            z = Minv(s["r"])
+            az = matvec(z)
         x = tr.add(s["x"], z)
-        r = tr.sub(b, matvec(x))
-        res = tr.norm(r)
         it = s["it"] + 1
+        resync = (it % resync_every) == 0
+        r = lax.cond(resync,
+                     lambda _: tr.sub(b, matvec(x)),
+                     lambda _: tr.sub(s["r"], az), None)
+        res = tr.norm(r)
         at_window = (it % stall_window) == 0
         stalled = at_window & (res > 0.9 * s["window0"])
         window0 = jnp.where(at_window, res, s["window0"])
@@ -363,7 +377,12 @@ def richardson(matvec, b, x0=None, Minv=None, *, rtol=1e-5, atol=1e-50,
         return dict(x=x, r=r, res=res, window0=window0, it=it, done=done)
 
     out = lax.while_loop(cond, body, state0)
-    return KrylovResult(out["x"], out["it"], out["res"] <= tol, out["res"])
+    # final convergence is decided on a TRUE residual: recompute unless the
+    # last body iteration already resynced
+    final_resync = (out["it"] % resync_every) == 0
+    res_true = jnp.where(final_resync, out["res"],
+                         tr.norm(tr.sub(b, matvec(out["x"]))))
+    return KrylovResult(out["x"], out["it"], res_true <= tol, res_true)
 
 
 SOLVERS = {"gmres": gmres, "fgmres": fgmres, "bicgstab": bicgstab,

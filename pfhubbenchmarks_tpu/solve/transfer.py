@@ -13,11 +13,23 @@ prolongation is pointwise interpolation at fine node positions:
 Restriction is the exact transpose (Galerkin FEM residual transfer);
 injection restricts *states* for coarse rediscretization. All ops are
 strided slices — XLA/SPMD friendly, no gathers.
+
+The nesting argument holds for ANY integer ratio R, not just 2: a coarse
+cell's diagonals are slope-±1 lines through fine vertices, which within
+each fine cell coincide with that cell's own diagonals, so every fine
+triangle lies inside exactly one coarse triangle and coarse P1 ⊂ fine P1.
+``prolong_general`` exploits this for odd ratios — the reason bench3's
+350² grid (350 = 2·5²·7) can have a real multigrid hierarchy
+(350 → 175 → 35 → 7) instead of stopping dead at the odd 175
+(dolfin/bench3.py:21-23 fixes the discretization; the preconditioner
+hierarchy is ours to choose).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 
@@ -91,6 +103,159 @@ def restrict(coarse: CrossedTriGrid, fine: CrossedTriGrid):
         return vc_p, mc_p
 
     return apply
+
+
+def _p1_weights(s: float, t: float, R: int):
+    """(w00, w10, w01, w11, wc) of the coarse crossed-P1 basis at cell-local
+    point (s, t) ∈ [0, R]² (s along x, t along y; corners a00..a11, center c).
+
+    Region formulas: on the S triangle the P1 function is
+    a00 + (a10-a00)·s/R + (2c-a00-a10)·t/R, and N/W/E by symmetry. The
+    formulas agree on region boundaries (continuity), so ties are free.
+    """
+    sr, tr_, ur_s, ur_t = s / R, t / R, (R - s) / R, (R - t) / R
+    if t <= s and t <= R - s:       # S
+        return (1.0 - sr - tr_, sr - tr_, 0.0, 0.0, 2.0 * tr_)
+    if t >= s and t >= R - s:       # N
+        return (0.0, 0.0, 1.0 - sr - ur_t, sr - ur_t, 2.0 * ur_t)
+    if s <= t and s <= R - t:       # W
+        return (1.0 - tr_ - sr, 0.0, tr_ - sr, 0.0, 2.0 * sr)
+    return (0.0, 1.0 - tr_ - ur_s, 0.0, tr_ - ur_s, 2.0 * ur_s)  # E
+
+
+def prolong_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    """Ratio-R nested P1 prolongation (exact interpolation, any integer R).
+
+    R² strided-set classes on [F, nyc, nxc] planes — used for the small
+    coarse levels of non-dyadic hierarchies, so cost is negligible.
+    """
+    nyc, nxc = coarse.ny, coarse.nx
+    R = fine.ny // nyc
+    assert fine.ny == R * nyc and fine.nx == R * nxc, (fine.ny, fine.nx, R)
+
+    # host-precomputed weight tables per local offset class
+    wv = np.array([[_p1_weights(px, py, R) for px in range(R)]
+                   for py in range(R)])          # [R, R, 5] vertex classes
+    wm = np.array([[_p1_weights(px + 0.5, py + 0.5, R) for px in range(R)]
+                   for py in range(R)])          # [R, R, 5] center classes
+
+    def apply(wc):
+        vc_p, mc_p = wc
+        vc = vc_p[:, : nyc + 1, : nxc + 1]
+        mc = mc_p[:, :nyc, :nxc]
+        a00 = vc[:, :-1, :-1]
+        a10 = vc[:, :-1, 1:]
+        a01 = vc[:, 1:, :-1]
+        a11 = vc[:, 1:, 1:]
+        F = vc.shape[0]
+        Yf, Xf = fine.vshape
+        vf = jnp.zeros((F, Yf, Xf), vc.dtype)
+
+        def combine(w):
+            acc = None
+            for c, arr in zip(w, (a00, a10, a01, a11, mc)):
+                c = float(c)  # numpy f64 scalars would promote f32 planes
+                if abs(c) < 1e-300:
+                    continue
+                acc = c * arr if acc is None else acc + c * arr
+            return acc if acc is not None else 0.0 * a00
+
+        for py in range(R):
+            for px in range(R):
+                vf = vf.at[:, py : R * nyc : R, px : R * nxc : R].set(
+                    combine(wv[py, px]))
+        # final fine-vertex row/col: 1D interpolation along coarse edges
+        top = vc[:, nyc, :]
+        for px in range(R):
+            w1 = px / R
+            vf = vf.at[:, R * nyc, px : R * nxc : R].set(
+                (1.0 - w1) * top[:, :-1] + w1 * top[:, 1:])
+        right = vc[:, :, nxc]
+        for py in range(R):
+            w1 = py / R
+            vf = vf.at[:, py : R * nyc : R, R * nxc].set(
+                (1.0 - w1) * right[:, :-1] + w1 * right[:, 1:])
+        vf = vf.at[:, R * nyc, R * nxc].set(vc[:, nyc, nxc])
+
+        Ym, Xm = fine.mshape
+        mf = jnp.zeros((F, Ym, Xm), vc.dtype)
+        for py in range(R):
+            for px in range(R):
+                mf = mf.at[:, py : R * nyc : R, px : R * nxc : R].set(
+                    combine(wm[py, px]))
+        return vf, mf
+
+    return apply
+
+
+def restrict_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    """Exact transpose of ``prolong_general`` via ``jax.linear_transpose``
+    (Galerkin residual transfer — guaranteed adjoint-consistent)."""
+    P = prolong_general(coarse, fine)
+    Ycv, Xcv = coarse.vshape
+    Ycm, Xcm = coarse.mshape
+
+    def apply(rf):
+        dtype = rf[0].dtype
+        F = rf[0].shape[0]
+        ex = (jax.ShapeDtypeStruct((F, Ycv, Xcv), dtype),
+              jax.ShapeDtypeStruct((F, Ycm, Xcm), dtype))
+        (out,) = jax.linear_transpose(P, ex)(rf)
+        return out
+
+    return apply
+
+
+def inject_state_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    """Ratio-R state injection: coarse vertices are fine vertices at stride
+    R; the coarse center sits on a fine center (odd R) or fine vertex
+    (even R)."""
+    nyc, nxc = coarse.ny, coarse.nx
+    R = fine.ny // nyc
+    assert fine.ny == R * nyc and fine.nx == R * nxc
+
+    def apply(wf):
+        vf_p, mf_p = wf
+        vf = vf_p[:, : R * nyc + 1, : R * nxc + 1]
+        vc = vf[:, ::R, ::R]
+        if R % 2 == 0:
+            off = R // 2
+            mc = vf[:, off : R * nyc : R, off : R * nxc : R]
+        else:
+            off = (R - 1) // 2
+            mf = mf_p[:, : R * nyc, : R * nxc]
+            mc = mf[:, off : R * nyc : R, off : R * nxc : R]
+        F = vc.shape[0]
+        Yc, Xc = coarse.vshape
+        vc_p = jnp.zeros((F, Yc, Xc), vc.dtype).at[:, : nyc + 1, : nxc + 1].set(vc)
+        Ymc, Xmc = coarse.mshape
+        mc_p = jnp.zeros((F, Ymc, Xmc), vc.dtype).at[:, :nyc, :nxc].set(mc)
+        return vc_p, mc_p
+
+    return apply
+
+
+def ratio(coarse: CrossedTriGrid, fine: CrossedTriGrid) -> int:
+    r = fine.ny // coarse.ny
+    assert (fine.ny == r * coarse.ny and fine.nx == r * coarse.nx
+            and fine.nx // coarse.nx == r), (fine.ny, fine.nx, coarse.ny, coarse.nx)
+    return r
+
+
+def prolong_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    """Dispatch: the hand-optimized strided R=2 path, else the general one."""
+    return (prolong if ratio(coarse, fine) == 2
+            else prolong_general)(coarse, fine)
+
+
+def restrict_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    return (restrict if ratio(coarse, fine) == 2
+            else restrict_general)(coarse, fine)
+
+
+def inject_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    return (inject_state if ratio(coarse, fine) == 2
+            else inject_state_general)(coarse, fine)
 
 
 def inject_state(coarse: CrossedTriGrid, fine: CrossedTriGrid):

@@ -86,8 +86,10 @@ class BenchmarkProblem:
     def _pallas_backend_ok(self) -> bool:
         """Backend/flag gate only — VMEM feasibility is judged per grid
         (multigrid levels coarser than the fine grid may fit when it
-        doesn't)."""
-        if self.solver.use_pallas == "off" or self.needs_coords:
+        doesn't). Periodic grids are excluded: the scalar-FMA kernel
+        assembly has no wraparound gather."""
+        if (self.solver.use_pallas == "off" or self.needs_coords
+                or self.grid.periodic):
             return False
         if self.solver.use_pallas == "on":
             return True
@@ -103,29 +105,57 @@ class BenchmarkProblem:
         return fits_vmem(self.grid, self.n_fields)
 
     def lowp_jvp_factory(self):
-        """Fused Pallas J.v for the Krylov matvec (TPU), else None."""
-        if not self.mixed_precision or not self._pallas_enabled():
-            return None
-        from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
+        """Fused Pallas J.v for the Krylov matvec (TPU), else None.
 
-        pjv = make_pallas_jvp(self.grid, self.terms, self.n_fields,
-                              dtype=jnp.float32)
+        Whole-array kernel when the grid fits scoped VMEM; otherwise the
+        row-block-tiled kernel (ops/pallas_tiled.make_tiled_jvp) — the XLA
+        einsum J.v at bench3's 350² measured 1.6-2.2 ms (op-count bound)
+        and is the single largest per-Krylov-iteration cost there."""
+        if not self.mixed_precision or not self._pallas_backend_ok():
+            return None
         bcs = self.dirichlet
 
-        def factory(x_lp, wprev_lp, dt_lp):
-            def jvp(v):
-                rv, rm = pjv(x_lp, wprev_lp, dt_lp, v)
-                for bc in bcs:
-                    f, i = bc.field, bc.index
-                    if bc.side in ("left", "right"):
-                        rv = rv.at[f, :, i].set(v[0][f, :, i])
-                    else:
-                        rv = rv.at[f, i, :].set(v[0][f, i, :])
-                return rv, rm
+        def _with_bcs(jv_fn):
+            def factory(x_lp, wprev_lp, dt_lp):
+                inner = jv_fn(x_lp, wprev_lp, dt_lp)
 
-            return jvp
+                def jvp(v):
+                    rv, rm = inner(v)
+                    for bc in bcs:
+                        f, i = bc.field, bc.index
+                        if bc.side in ("left", "right"):
+                            rv = rv.at[f, :, i].set(v[0][f, :, i])
+                        else:
+                            rv = rv.at[f, i, :].set(v[0][f, i, :])
+                    return rv, rm
 
-        return factory
+                return jvp
+
+            return factory
+
+        if self._pallas_enabled():
+            from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
+
+            pjv = make_pallas_jvp(self.grid, self.terms, self.n_fields,
+                                  dtype=jnp.float32)
+            return _with_bcs(
+                lambda x, w0, dt: (lambda v: pjv(x, w0, dt, v)))
+
+        from pfhubbenchmarks_tpu.ops.pallas_tiled import (
+            choose_block_rows_vmem, make_tiled_jvp)
+
+        nq = self.grid.tab().nq
+        bc_rows = choose_block_rows_vmem(self.grid, self.n_fields, nq)
+        if bc_rows is None or bc_rows >= self.grid.ny:
+            return None
+        prep, jv = make_tiled_jvp(self.grid, self.terms, self.n_fields,
+                                  dtype=jnp.float32, block_rows=bc_rows)
+
+        def tiled(x, w0, dt):
+            staged = prep(x, w0)
+            return lambda v: jv(v, staged, dt)
+
+        return _with_bcs(tiled)
 
     def precond_builder(self):
         kind = self.solver.precond

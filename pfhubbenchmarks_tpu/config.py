@@ -82,6 +82,19 @@ class SolverConfig:
     # Newton-level residuals/norms stay in the solver dtype. See
     # solve/newton.py. No effect when the solver dtype is already float32.
     mixed_precision: bool = True
+    # Two-stage precision Newton residuals: evaluate ||F|| in f32 while it
+    # is far above the f32 assembly's measured cancellation-noise floor,
+    # recompute in emulated f64 near the thresholds — TPU f64 residuals
+    # measured 13x the f32 cost (20.7 vs 1.6 ms at 350²). OFF by default:
+    # the f32-assembled Krylov RHS injects a forcing term ~floor/||F|| that
+    # can shift Newton counts by one near the dt-controller's thresholds
+    # (observed on bench1/bench3 CPU labs even at margin=1000), and count
+    # parity outranks the ~10%% wall saving until the incremental-residual
+    # design lands.
+    fast_residual: bool = False
+    # f32 is trusted only while ||F|| > margin * (measured f32 assembly
+    # noise floor at the initial guess); see solve/newton.py.
+    fast_residual_margin: float = 1000.0
     # Fused Pallas kernels for J.v products: 'auto' enables them on TPU
     # backends when the grids fit VMEM (ops/pallas_residual.py).
     use_pallas: str = "auto"        # 'auto' | 'on' | 'off'
@@ -92,6 +105,12 @@ class SolverConfig:
     # compiler). Measured: bench3 51->40 s, bench2 55->44 s.
     use_tiled_sweeps: bool = True
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
+    # When to (re)build the preconditioner: 'newton' = every Newton
+    # iteration (SNES default), 'solve' = once per nonlinear solve at the
+    # initial guess. FGMRES is flexible, so a lagged preconditioner changes
+    # only iteration counts, never correctness; the build (AD node-block
+    # inverses at every level + staging) measured 4-8 ms per call on TPU.
+    precond_lag: str = "newton"     # 'newton' | 'solve'
     # Quadrature rule for the PRECONDITIONER's operator only (V-cycle J.v,
     # smoothers, block inverses). The outer Newton residual and Krylov
     # matvec keep the FFC-parity 'ffc3' rule (4 pts/triangle), so converged

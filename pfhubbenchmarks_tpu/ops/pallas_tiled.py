@@ -63,6 +63,105 @@ def choose_block_rows_vmem(grid: CrossedTriGrid, n_fields: int, nq: int,
     return None
 
 
+def make_tiled_jvp(grid: CrossedTriGrid, terms, n_fields: int,
+                   dtype=jnp.float32, block_rows: int | None = None,
+                   interpret: bool = False):
+    """Row-block-tiled J.v — the fused matvec for grids past the whole-array
+    VMEM envelope (bench3's 350², bench2's 6-field 100²).
+
+    The XLA einsum J.v at 350² measured 1.6-2.2 ms on TPU (op-count bound,
+    ~20 unfused kernels) and is paid TWICE per Krylov iteration (outer
+    matvec + the V-cycle's post-correction residual); this kernel does one
+    gather + nb slab launches + one unstack. Returns ``(prepare, jv)``:
+    ``prepare(w, w0)`` stages the linearization state once per Newton
+    iteration; ``jv(v, staged, dt) -> (av, am)``.
+    """
+    F = n_fields
+    ny, nx = grid.ny, grid.nx
+    Yv, Xv = grid.vshape
+    Ym, Xm = grid.mshape
+    bc = block_rows or choose_block_rows(ny)
+    assert bc is not None and ny % bc == 0, (ny, bc)
+    nb = ny // bc
+    rows_c = bc + 2
+    rows_v = bc + 3
+    rows_m = bc + 2
+    blk_grid = dataclasses.replace(grid, ny=rows_c, Ly=grid.hy * rows_c,
+                                   pad_to=(1, 1))
+    resid_blk = _scalar_assembly(blk_grid, terms, F)
+
+    gather_v = partial(_row_gather, nb=nb, bc=bc, rows=rows_v,
+                       nrows_logical=ny + 1)
+    gather_m = partial(_row_gather, nb=nb, bc=bc, rows=rows_m,
+                       nrows_logical=ny)
+
+    def kernel(v_v, v_m, w_v, w_m, w0_v, w0_m, mask_ref, dt_ref,
+               az_v_o, az_m_o, av_s, am_s):
+        dt = dt_ref[0, 0]
+        _, acc = jax.jvp(lambda u: resid_blk(u, (w0_v[:], w0_m[:]), dt),
+                         ((w_v[:], w_m[:]),), ((v_v[:], v_m[:]),))
+        mask = mask_ref[:, :nx]
+        av_s[:] = jnp.zeros_like(av_s)
+        am_s[:] = jnp.zeros_like(am_s)
+        shifts = [(0, 0), (0, 1), (1, 1), (1, 0)]  # SW, SE, NE, NW
+        for f in range(F):
+            for s_i, (dy, dx) in enumerate(shifts):
+                av_s[f, dy:rows_c + dy, dx:nx + dx] = (
+                    av_s[f, dy:rows_c + dy, dx:nx + dx] + acc[s_i][f] * mask)
+            am_s[f, :rows_c, :nx] = acc[4][f] * mask
+        az_v_o[:] = av_s[:, 1:bc + 2, :]
+        az_m_o[:] = am_s[:, 1:bc + 1, :]
+
+    blk_call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(2)),
+        out_shape=(jax.ShapeDtypeStruct((F, bc + 1, Xv), dtype),
+                   jax.ShapeDtypeStruct((F, bc, Xm), dtype)),
+        scratch_shapes=[pltpu.VMEM((F, rows_v, Xv), dtype),
+                        pltpu.VMEM((F, rows_m, Xm), dtype)],
+        interpret=interpret,
+    )
+
+    _masks = np.ones((nb, rows_c, Xm), np.float32)
+    _masks[0, 0, :] = 0.0
+    _masks[nb - 1, rows_c - 1, :] = 0.0
+    _masks = jnp.asarray(_masks, dtype)
+
+    def _unstack(stack, rows_owned, Y, X):
+        body = jnp.moveaxis(stack[:, :, :bc, :], 0, 1).reshape(F, nb * bc, X)
+        if rows_owned == bc + 1:
+            lastrow = stack[nb - 1, :, bc, :][:, None, :]
+            body = jnp.concatenate([body, lastrow], axis=1)
+        pad = Y - body.shape[1]
+        if pad:
+            body = jnp.concatenate(
+                [body, jnp.zeros((F, pad, X), stack.dtype)], axis=1)
+        return body
+
+    def prepare(w, w0):
+        return (gather_v(w[0].astype(dtype)), gather_m(w[1].astype(dtype)),
+                gather_v(w0[0].astype(dtype)), gather_m(w0[1].astype(dtype)))
+
+    def jv(v, staged, dt):
+        wv_s, wm_s, w0v_s, w0m_s = staged
+        vv_s = gather_v(v[0].astype(dtype))
+        vm_s = gather_m(v[1].astype(dtype))
+        dt_arr = jnp.asarray([[dt]], dtype)
+
+        def per_block(args):
+            vv, vm, wv, wm, w0v, w0m, mk = args
+            return blk_call(vv, vm, wv, wm, w0v, w0m, mk, dt_arr)
+
+        avs, ams = lax.map(per_block, (vv_s, vm_s, wv_s, wm_s,
+                                       w0v_s, w0m_s, _masks))
+        return (_unstack(avs, bc + 1, Yv, Xv), _unstack(ams, bc, Ym, Xm))
+
+    return prepare, jv
+
+
 def _row_gather(a, nb, bc, rows, nrows_logical):
     """[F, Y, X] -> [nb, F, rows, X]; block b covers global rows
     [b*bc - 1, b*bc - 1 + rows); out-of-range rows are zeros."""

@@ -112,9 +112,25 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
             nq_g = g.tab().nq
             ok = fits_vmem(g, n_fields, nq=nq_g)
-            pallas_jvs.append(
-                make_pallas_jvp(g, terms, n_fields, dtype=precond_dtype)
-                if ok else None)
+            if ok:
+                pallas_jvs.append(
+                    make_pallas_jvp(g, terms, n_fields, dtype=precond_dtype))
+            elif not bcs and use_tiled_sweeps:
+                # tiled J.v for the level's post-correction residual — the
+                # unfused XLA J.v at 350² is ~2 ms, paid once per V-cycle
+                from pfhubbenchmarks_tpu.ops.pallas_tiled import (
+                    choose_block_rows_vmem, make_tiled_jvp)
+
+                bc_rows = choose_block_rows_vmem(g, n_fields, nq_g)
+                if bc_rows is not None and bc_rows < g.ny:
+                    pallas_jvs.append(
+                        ("tiled",) + make_tiled_jvp(
+                            g, terms, n_fields, dtype=precond_dtype,
+                            block_rows=bc_rows))
+                else:
+                    pallas_jvs.append(None)
+            else:
+                pallas_jvs.append(None)
             counts = sorted({nu_pre, nu_post, coarse_sweeps})
 
             # fused multi-sweep kernels: unroll is capped per kernel (the
@@ -224,7 +240,14 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         w0l = _cast(w0, precond_dtype)
         dtl = jnp.asarray(dt, precond_dtype)
         for l in range(len(grids)):
-            if pallas_jvs[l] is not None:
+            if (isinstance(pallas_jvs[l], tuple)
+                    and pallas_jvs[l][0] == "tiled"):
+                _, prep_j, jv_j = pallas_jvs[l]
+                staged_j = prep_j(wl, w0l)
+
+                def jvp(v, jv_j=jv_j, staged=staged_j, dtl=dtl):
+                    return jv_j(v, staged, dtl)
+            elif pallas_jvs[l] is not None:
                 pjv = pallas_jvs[l]
                 bcs = level_bcs[l]
                 wl_c, w0l_c, dtl_c = wl, w0l, dtl

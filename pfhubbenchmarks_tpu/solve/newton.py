@@ -47,6 +47,11 @@ def _make_line_search(kind: str, res_fn):
     'bt': Armijo backtracking on ||F||^2 with halving (PETSc bt, simplified).
     'cp': one secant step on g(l) = <F(x + l d), d> (PETSc cp default
           max_its=1; dolfin/bench2.py:140, bench6.py:117).
+
+    ``res_fn(x, gate)`` may route through the two-stage precision residual
+    (f32 evaluation while ``gate`` — the current ||F|| — is far from the
+    convergence thresholds); line-search quantities only steer the step
+    length, so f32's ~1e-7 relative error is immaterial at large ||F||.
     """
 
     if kind == "basic":
@@ -65,7 +70,7 @@ def _make_line_search(kind: str, res_fn):
             # at t~31 — PETSc would freeze identically). A degenerate secant
             # (l ~ 0 or non-finite) falls back to the full Newton step.
             g0 = tr.vdot(F, d)
-            F1 = res_fn(tr.add(x, d))
+            F1 = res_fn(tr.add(x, d), normF)
             g1 = tr.vdot(F1, d)
             denom = g1 - g0
             lam = jnp.where(denom != 0, -g0 / jnp.where(denom != 0, denom, 1.0), 1.0)
@@ -80,7 +85,7 @@ def _make_line_search(kind: str, res_fn):
 
             # up to 10 halvings, stop at first sufficient decrease
             def scan_body(lam, _):
-                Ft = res_fn(tr.axpy(lam, d, x))
+                Ft = res_fn(tr.axpy(lam, d, x), normF)
                 ft = tr.vdot(Ft, Ft)
                 ok = ft <= (1.0 - 2.0 * alpha * lam) * f0
                 new_lam = jnp.where(ok, lam, lam * 0.5)
@@ -121,13 +126,55 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
 
     def solve(w_guess, w_prev, dt):
         res_fn = lambda w: residual(w, w_prev, dt)
-        F0 = res_fn(w_guess)
-        n0 = tr.norm(F0)
-        line_search = _make_line_search(cfg.line_search, res_fn)
         if residual_lowp is not None:
             lowp = jnp.float32
             w_prev_lp = _cast(w_prev, lowp)
             dt_lp = jnp.asarray(dt, lowp)
+
+        # Two-stage precision residual: f64 on TPU is EMULATED and the f64
+        # assembly dominates per-Newton overhead on the big grids. The f32
+        # assembly's error is CANCELLATION noise (residual entries are tiny
+        # differences of O(1) element contributions), so its useful range is
+        # bounded below by a state-dependent noise floor — measured once per
+        # solve as ||F32(w_guess) - F64(w_guess)||. f32 evaluation is used
+        # only while ||F|| > margin * floor (margin 1000: RHS relative error
+        # <0.1%, which leaves every Newton contraction and hence the
+        # controller-visible iteration counts unchanged — verified per
+        # benchmark on CPU), and never below 100x atol / 10x report_atol.
+        if residual_lowp is not None and cfg.fast_residual:
+            F0_32 = residual_lowp(_cast(w_guess, lowp), w_prev_lp, dt_lp)
+            F0 = res_fn(w_guess)
+            floor = tr.norm(tr.sub(_cast(F0_32, F0[0].dtype), F0))
+            switch = jnp.maximum(
+                cfg.fast_residual_margin * floor,
+                max(cfg.newton_atol * 100.0, (cfg.report_atol or 0.0) * 10.0))
+
+            def res_staged(x, gate):
+                F32 = residual_lowp(_cast(x, lowp), w_prev_lp, dt_lp)
+                n32 = tr.norm(F32).astype(gate.dtype)
+                need64 = (gate < switch) | (n32 < switch)
+                return lax.cond(
+                    need64, lambda _: res_fn(x),
+                    lambda _: _cast(F32, gate.dtype), None)
+        else:
+            F0 = res_fn(w_guess)
+
+            def res_staged(x, gate):
+                return res_fn(x)
+
+        n0 = tr.norm(F0)
+        line_search = _make_line_search(cfg.line_search, res_staged)
+        # 'solve' lag: one build at the initial guess, reused across Newton
+        # iterations (hoisted out of the while_loop as a loop-invariant).
+        # A lagged preconditioner must NOT expose the fused minv_matvec pair
+        # (its A z is linearized at the lagged state — using it as the outer
+        # matvec would turn Newton into modified-Newton); wrap to a plain
+        # preconditioner so FGMRES falls back to the true J.v.
+        Minv_lagged = None
+        if cfg.precond_lag == "solve":
+            _M = precond_build(w_guess, w_prev, dt)
+            Minv_lagged = ((lambda r: _M(r))
+                           if hasattr(_M, "minv_matvec") else _M)
 
         hist0 = jnp.full(cfg.newton_max_iters + 1, jnp.inf,
                          n0.dtype).at[0].set(n0)
@@ -145,7 +192,8 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
 
         def body(s):
             x, F = s["x"], s["F"]
-            Minv = precond_build(x, w_prev, dt)
+            Minv = (Minv_lagged if Minv_lagged is not None
+                    else precond_build(x, w_prev, dt))
             if residual_lowp is not None:
                 x_lp = _cast(x, lowp)
                 if lowp_jvp_factory is not None:
@@ -168,7 +216,9 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             sol = sol._replace(x=d, res_norm=res_norm64)
             lam = line_search(x, sol.x, F, s["normF"])
             xn = tr.axpy(lam, sol.x, x)
-            Fn = res_fn(xn)
+            # the staged residual self-selects f64 when its f32 norm lands
+            # near the thresholds, so an inf gate maximizes f32 coverage
+            Fn = res_staged(xn, jnp.asarray(jnp.inf, s["normF"].dtype))
             nn = tr.norm(Fn)
             k = s["k"] + 1
             # SNESConvergedDefault: atol, rtol vs ||F0||, and the step-size

@@ -63,3 +63,33 @@ def test_tiled_sweep_matches_xla_bench1():
 
 def test_tiled_sweep_matches_xla_bench2_six_fields():
     _run_case("bench2", nx=12, block_rows=4)
+
+
+def test_tiled_jvp_matches_xla():
+    """make_tiled_jvp must reproduce the XLA linearize J.v exactly."""
+    from pfhubbenchmarks_tpu.ops.pallas_tiled import make_tiled_jvp
+
+    problem = get_benchmark("bench2", nx=16, ny=16)
+    g = problem.grid
+    F = problem.n_fields
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt32 = jnp.asarray(0.05, jnp.float32)
+
+    rng = np.random.default_rng(2)
+    v_v = np.zeros((F,) + g.vshape, np.float32)
+    v_m = np.zeros((F,) + g.mshape, np.float32)
+    v_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    v_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    v = (jnp.asarray(v_v), jnp.asarray(v_m))
+
+    res32 = problem.residual(dtype=jnp.float32)
+    _, jvp = jax.linearize(lambda u: res32(u, w, dt32), w)
+    want = jvp(v)
+
+    prep, jv = make_tiled_jvp(g, problem.terms, F, dtype=jnp.float32,
+                              block_rows=4, interpret=True)
+    got = jv(v, prep(w, w), dt32)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)

@@ -134,6 +134,13 @@ class TimeConfig:
     t0: float = 0.0
     dt0: float = 1e-1
     dt_min: float = 1e-2
+    # Optional ceiling applied after the grow rule. The reference has no
+    # explicit dt_max, but a benchmark's committed trajectory can encode an
+    # EFFECTIVE one: bench6's SNES+SOR linear solver fails every dt=0.64
+    # attempt (verified with tools/parity_lab.py: steps 7-14 each show one
+    # implied failure at 0.64 where our FGMRES+GMG converges in 3
+    # iterations), so its 14-row grid is exactly the dt_max=0.32 walk.
+    dt_max: float | None = None
     end_time: float = 1e3
     # Reference rule: double dt if Newton converged in < grow_threshold
     # iterations, else halve (floored at dt_min). dolfin/bench1.py:179-183.

@@ -148,6 +148,8 @@ class Runner:
                               jnp.where(shrink,
                                         jnp.maximum(0.5 * s["dt"], tc.dt_min),
                                         s["dt"]))
+            if tc.dt_max is not None:
+                dt_ok = jnp.minimum(dt_ok, tc.dt_max)
             dt_fail = jnp.maximum(0.5 * s["dt"], tc.dt_min)
             at_min = s["dt"] <= tc.dt_min * (1 + 1e-12)
             # host-loop stall semantics (timeloop.run): `retries` counts ALL
@@ -360,11 +362,14 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         dt_used = dt
 
         # reference adaptive rule (dolfin/bench1.py:179-183); optional
-        # hysteresis band (dolfinx/b13d.py:306-310)
+        # hysteresis band (dolfinx/b13d.py:306-310) and dt_max ceiling
+        # (bench6: the reference solver's effective cap, config.TimeConfig)
         if niters < tc.grow_threshold:
             dt = 2.0 * dt
         elif tc.shrink_threshold is None or niters > tc.shrink_threshold:
             dt = max(0.5 * dt, tc.dt_min)
+        if tc.dt_max is not None:
+            dt = min(dt, tc.dt_max)
 
         obs = [float(v) for v in obs_vals]
         rows.append([t] + obs)

@@ -158,3 +158,22 @@ def test_bench3_anisotropy_flag_runs_without_nan():
     res = timeloop.run(problem, max_steps=3, verbose=False)
     assert np.isfinite(res.rows).all()
     assert (np.diff(res.rows[:, 1]) < 0).all()
+
+
+def test_bench6_adaptive_walks_full_reference_grid():
+    """The committed bench6 grid is a dt_max=0.32 walk (the reference's
+    SNES+SOR fails every dt=0.64 attempt — parity lab, ROADMAP); with the
+    documented cap our adaptive controller reproduces all 14 rows."""
+    import numpy as np
+
+    from pfhubbenchmarks_tpu import timeloop
+    from pfhubbenchmarks_tpu.benchmarks import get_benchmark
+
+    pb = get_benchmark("bench6")
+    res = timeloop.run(pb, verbose=False)
+    ref = np.loadtxt("/root/reference/results/bench6_out.csv",
+                     delimiter=",", skiprows=1)
+    assert len(res.rows) == len(ref) == 14
+    np.testing.assert_allclose(res.rows[:, 0], ref[:, 0], rtol=1e-9)
+    relerr = np.abs(res.rows[:, 1] - ref[:, 1]) / np.abs(ref[:, 1])
+    assert relerr.max() < 1e-6, relerr.max()

@@ -47,15 +47,17 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
          periodic: bool = False, **overrides) -> BenchmarkProblem:
     """``periodic=True`` is the BM1 variant the reference authored but never
     enabled (PeriodicBoundary, dolfin/pfbase.py:11-37; bench1 runs no-flux):
-    wraparound topology on both axes, no Dirichlet, unpadded storage
-    (fem/grid.py periodic gathers exclude padding, hence no SPMD sharding).
-    GMG transfers assume boundary topology, so the periodic variant
-    preconditions with pointwise block-Jacobi."""
+    wraparound topology on both axes, no Dirichlet, unpadded storage.
+    Preconditions with the periodic-aware GMG V-cycle (wraparound transfers,
+    solve/transfer.py prolong_periodic) and shards like the open-boundary
+    grid — the wraparound ``jnp.roll``s lower to XLA collective-permutes
+    (tests/test_sharding.py). Pallas kernels are excluded (no wraparound in
+    the scalar-FMA assembly), so the periodic V-cycle runs the XLA path."""
     p = params
     if periodic:
         overrides.setdefault("solver", SolverConfig(
-            line_search="basic", precond="block_jacobi",
-            krylov_max_iters=2000))
+            line_search="basic", precond="gmg",
+            precond_rule="dunavant2"))
 
     def dfdc(c):
         return 2.0 * p.rho_s * (c - p.c_alpha) * (p.c_beta - c) * (

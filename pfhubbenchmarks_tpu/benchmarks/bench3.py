@@ -147,8 +147,7 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
         time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=100.0, grow_threshold=5),
         # precond_rule dunavant2: krylov 51 -> 56 over 5 steps at 140^2 (r3
         # lab); dunavant1 degrades the reaction-dominated AC block (x4.4)
-        solver=SolverConfig(line_search="basic", precond_rule="dunavant2",
-                            precond_lag="solve"),
+        solver=SolverConfig(line_search="basic", precond_rule="dunavant2"),
         abort_condition=lambda row: row["total_free_energy"] < 0.0,
         abort_device=lambda row: row[1] < 0.0,
         **overrides,

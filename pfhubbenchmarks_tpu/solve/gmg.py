@@ -56,7 +56,8 @@ def build_hierarchy(grid: CrossedTriGrid, max_levels: int = 10,
     grids = [grid]
     while len(grids) < max_levels:
         g = grids[-1]
-        r = next((r for r in _RATIOS
+        ratios = (2,) if g.periodic else _RATIOS  # periodic transfers are R=2
+        r = next((r for r in ratios
                   if g.nx % r == 0 and g.ny % r == 0
                   and g.nx // r >= min_cells and g.ny // r >= min_cells), None)
         if r is None:
@@ -105,7 +106,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         bj_builders.append(make_block_jacobi(g, terms, n_fields, dirichlet=bcs,
                                              dtype=precond_dtype,
                                              needs_coords=needs_coords))
-        if use_pallas and not needs_coords:
+        if use_pallas and not needs_coords and not g.periodic:
             from pfhubbenchmarks_tpu.ops.pallas_residual import (
                 fits_vmem, make_pallas_jvp, make_pallas_lmr_sweep,
                 make_pallas_lmr_sweep_loop)
@@ -194,7 +195,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     # in-kernel MXU transfer matrices encode the R=2 stencil), fine level
     # within the Mosaic scoped-VMEM envelope.
     fused = None
-    if (use_pallas and not needs_coords and len(grids) >= 2 and all_dyadic
+    if (use_pallas and not needs_coords and not grid.periodic
+            and len(grids) >= 2 and all_dyadic
             and all(not b for b in level_bcs)):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle

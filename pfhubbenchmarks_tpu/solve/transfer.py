@@ -232,6 +232,62 @@ def inject_state_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
     return apply
 
 
+def prolong_periodic(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    """Ratio-2 nested P1 prolongation on periodic crossed grids.
+
+    Same interpolation rules as ``prolong`` with wraparound neighbors
+    (``jnp.roll`` — XLA SPMD lowers it to collective-permute halo exchange,
+    so the periodic V-cycle shards like the open-boundary one). Periodic
+    grids store vertex [ny, nx] (no duplicated right/top line)."""
+    nyc, nxc = coarse.ny, coarse.nx
+    assert coarse.periodic and fine.periodic
+    assert fine.ny == 2 * nyc and fine.nx == 2 * nxc
+
+    def apply(wc):
+        vc, mc = wc
+        F = vc.shape[0]
+        vx = jnp.roll(vc, -1, axis=2)
+        vy = jnp.roll(vc, -1, axis=1)
+        vxy = jnp.roll(vc, -1, axis=(1, 2))
+
+        def interleave(c00, c01, c10, c11):
+            cls = jnp.stack([jnp.stack([c00, c01]), jnp.stack([c10, c11])])
+            cls = jnp.transpose(cls, (2, 3, 0, 4, 1))  # [F, nyc, 2, nxc, 2]
+            return cls.reshape(F, 2 * nyc, 2 * nxc)
+
+        vf = interleave(vc, 0.5 * (vc + vx), 0.5 * (vc + vy), mc)
+        mf = interleave(0.5 * (vc + mc), 0.5 * (vx + mc),
+                        0.5 * (vy + mc), 0.5 * (vxy + mc))
+        return vf, mf
+
+    return apply
+
+
+def restrict_periodic(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    """Exact transpose of ``prolong_periodic`` via ``jax.linear_transpose``."""
+    P = prolong_periodic(coarse, fine)
+    Ycv, Xcv = coarse.vshape
+    Ycm, Xcm = coarse.mshape
+
+    def apply(rf):
+        dtype = rf[0].dtype
+        F = rf[0].shape[0]
+        ex = (jax.ShapeDtypeStruct((F, Ycv, Xcv), dtype),
+              jax.ShapeDtypeStruct((F, Ycm, Xcm), dtype))
+        (out,) = jax.linear_transpose(P, ex)(rf)
+        return out
+
+    return apply
+
+
+def inject_state_periodic(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    def apply(wf):
+        vf, _ = wf
+        return vf[:, ::2, ::2], vf[:, 1::2, 1::2]
+
+    return apply
+
+
 def ratio(coarse: CrossedTriGrid, fine: CrossedTriGrid) -> int:
     r = fine.ny // coarse.ny
     assert (fine.ny == r * coarse.ny and fine.nx == r * coarse.nx
@@ -240,17 +296,24 @@ def ratio(coarse: CrossedTriGrid, fine: CrossedTriGrid) -> int:
 
 
 def prolong_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
-    """Dispatch: the hand-optimized strided R=2 path, else the general one."""
+    """Dispatch: periodic (ratio 2), hand-optimized strided R=2, or the
+    general odd-ratio path."""
+    if fine.periodic:
+        return prolong_periodic(coarse, fine)
     return (prolong if ratio(coarse, fine) == 2
             else prolong_general)(coarse, fine)
 
 
 def restrict_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    if fine.periodic:
+        return restrict_periodic(coarse, fine)
     return (restrict if ratio(coarse, fine) == 2
             else restrict_general)(coarse, fine)
 
 
 def inject_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
+    if fine.periodic:
+        return inject_state_periodic(coarse, fine)
     return (inject_state if ratio(coarse, fine) == 2
             else inject_state_general)(coarse, fine)
 

@@ -67,3 +67,52 @@ def test_periodic_area():
     one = (jnp.ones_like(w[0]), jnp.ones_like(w[1]))
     area = float(make_functional(grid, lambda ctx: ctx.u[0])(one))
     np.testing.assert_allclose(area, 16.0, rtol=1e-13)
+
+
+def test_periodic_transfers_adjoint_and_nested():
+    """Periodic prolongation: coarse dofs reproduced at coincident fine
+    nodes; restriction is the exact transpose."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
+    from pfhubbenchmarks_tpu.solve.transfer import (
+        inject_state_periodic, prolong_periodic, restrict_periodic)
+
+    coarse = CrossedTriGrid(8, 8, 2.0, 2.0, periodic=True)
+    fine = CrossedTriGrid(16, 16, 2.0, 2.0, periodic=True)
+    rng = np.random.default_rng(0)
+    wc = (jnp.asarray(rng.standard_normal((2, 8, 8))),
+          jnp.asarray(rng.standard_normal((2, 8, 8))))
+    rf = (jnp.asarray(rng.standard_normal((2, 16, 16))),
+          jnp.asarray(rng.standard_normal((2, 16, 16))))
+    wf = prolong_periodic(coarse, fine)(wc)
+    back = inject_state_periodic(coarse, fine)(wf)
+    np.testing.assert_allclose(np.asarray(back[0]), np.asarray(wc[0]), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(back[1]), np.asarray(wc[1]), atol=1e-14)
+    Rrf = restrict_periodic(coarse, fine)(rf)
+    lhs = sum(float(jnp.vdot(a, b)) for a, b in zip(wf, rf))
+    rhs = sum(float(jnp.vdot(a, b)) for a, b in zip(wc, Rrf))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-13)
+
+
+def test_bench1_periodic_gmg_newton_converges():
+    """The periodic variant now runs the full GMG V-cycle (wraparound
+    transfers) instead of falling back to block-Jacobi."""
+    from pfhubbenchmarks_tpu.solve.gmg import build_hierarchy
+    from pfhubbenchmarks_tpu.solve.newton import make_newton_solver
+
+    from pfhubbenchmarks_tpu.benchmarks import get_benchmark
+
+    pb = get_benchmark("bench1_periodic", nx=32, ny=32)
+    assert pb.solver.precond == "gmg"
+    sizes = [(h.ny, h.nx) for h in build_hierarchy(pb.grid)]
+    assert sizes == [(32, 32), (16, 16), (8, 8)], sizes
+    newton = make_newton_solver(pb.residual(), pb.solver,
+                                pb.precond_builder(),
+                                residual_lowp=pb.residual_lowp())
+    w0 = pb.initial_state()
+    res = newton(w0, w0, 0.1)
+    assert bool(res.converged), float(res.res_norm)
+    res2 = newton(res.x, res.x, 0.2)
+    assert bool(res2.converged), float(res2.res_norm)

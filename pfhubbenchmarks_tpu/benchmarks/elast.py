@@ -84,8 +84,19 @@ def make(nx: int = 250, ny: int = 10, Lx: float = 25.0, Ly: float = 1.0,
         custom_observables={"tip_deflection": tip_deflection},
         csv_columns=("time", "strain_energy", "tip_deflection"),
         time=TimeConfig(t0=0.0, dt0=1.0, end_time=0.5, dt_min=1.0),
-        solver=SolverConfig(line_search="basic", newton_max_iters=5,
-                            gmg_coarse_sweeps=1200, krylov_max_iters=400),
+        # Dense MXU direct solve + Newton-as-iterative-refinement: the
+        # thin beam is compliance-dominated (||A||·||u||/||b|| ~ 1e6), so
+        # (a) smoother-based V-cycles flatline in the residual norm (the
+        # reference's SOR did too — "SOR was causing problems",
+        # dolfin/elast.py:83 — and it fell back to hypre AMG), and (b) ANY
+        # f32 Krylov path floors at eps32·||A||·||u|| ~ 2e-5, far above
+        # KSP rtol·||b||. The f32 row-equilibrated dense inverse
+        # (solve/precond.make_dense_precond) gives ~3 digits per
+        # application; Richardson at a loose rtol accepts it and the f64
+        # Newton loop is the iterative refinement that reaches atol=1e-6.
+        solver=SolverConfig(line_search="basic", newton_max_iters=8,
+                            precond="dense", krylov="richardson",
+                            krylov_rtol=0.2, krylov_max_iters=4),
         dirichlet_spec=(
             (0, "left", lambda y: 0.0 * y),
             (1, "left", lambda y: 0.0 * y),

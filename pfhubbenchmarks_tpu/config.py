@@ -125,6 +125,8 @@ class SolverConfig:
     gmg_omega: float = 0.8
     gmg_coarse_sweeps: int = 24
     gmg_max_levels: int = 10
+    # hierarchy floor: stop coarsening an axis below this many cells
+    gmg_min_cells: int = 7
 
 
 @dataclasses.dataclass(frozen=True)

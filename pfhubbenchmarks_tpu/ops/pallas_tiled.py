@@ -90,11 +90,6 @@ def make_tiled_jvp(grid: CrossedTriGrid, terms, n_fields: int,
                                    pad_to=(1, 1))
     resid_blk = _scalar_assembly(blk_grid, terms, F)
 
-    gather_v = partial(_row_gather, nb=nb, bc=bc, rows=rows_v,
-                       nrows_logical=ny + 1)
-    gather_m = partial(_row_gather, nb=nb, bc=bc, rows=rows_m,
-                       nrows_logical=ny)
-
     def kernel(v_v, v_m, w_v, w_m, w0_v, w0_m, mask_ref, dt_ref,
                az_v_o, az_m_o, av_s, am_s):
         dt = dt_ref[0, 0]
@@ -125,52 +120,68 @@ def make_tiled_jvp(grid: CrossedTriGrid, terms, n_fields: int,
         interpret=interpret,
     )
 
-    _masks = np.ones((nb, rows_c, Xm), np.float32)
-    _masks[0, 0, :] = 0.0
-    _masks[nb - 1, rows_c - 1, :] = 0.0
-    _masks = jnp.asarray(_masks, dtype)
-
-    def _unstack(stack, rows_owned, Y, X):
-        body = jnp.moveaxis(stack[:, :, :bc, :], 0, 1).reshape(F, nb * bc, X)
-        if rows_owned == bc + 1:
-            lastrow = stack[nb - 1, :, bc, :][:, None, :]
-            body = jnp.concatenate([body, lastrow], axis=1)
-        pad = Y - body.shape[1]
-        if pad:
-            body = jnp.concatenate(
-                [body, jnp.zeros((F, pad, X), stack.dtype)], axis=1)
-        return body
+    masks = _edge_masks(nb, rows_c, Xm, dtype)
 
     def prepare(w, w0):
-        return (gather_v(w[0].astype(dtype)), gather_m(w[1].astype(dtype)),
-                gather_v(w0[0].astype(dtype)), gather_m(w0[1].astype(dtype)))
+        return (_slab_views(w[0].astype(dtype), nb, bc, rows_v),
+                _slab_views(w[1].astype(dtype), nb, bc, rows_m),
+                _slab_views(w0[0].astype(dtype), nb, bc, rows_v),
+                _slab_views(w0[1].astype(dtype), nb, bc, rows_m))
 
     def jv(v, staged, dt):
         wv_s, wm_s, w0v_s, w0m_s = staged
-        vv_s = gather_v(v[0].astype(dtype))
-        vm_s = gather_m(v[1].astype(dtype))
+        vv_s = _slab_views(v[0].astype(dtype), nb, bc, rows_v)
+        vm_s = _slab_views(v[1].astype(dtype), nb, bc, rows_m)
         dt_arr = jnp.asarray([[dt]], dtype)
-
-        def per_block(args):
-            vv, vm, wv, wm, w0v, w0m, mk = args
-            return blk_call(vv, vm, wv, wm, w0v, w0m, mk, dt_arr)
-
-        avs, ams = lax.map(per_block, (vv_s, vm_s, wv_s, wm_s,
-                                       w0v_s, w0m_s, _masks))
-        return (_unstack(avs, bc + 1, Yv, Xv), _unstack(ams, bc, Ym, Xm))
+        outs = [blk_call(vv_s[b], vm_s[b], wv_s[b], wm_s[b],
+                         w0v_s[b], w0m_s[b], masks[b], dt_arr)
+                for b in range(nb)]
+        return (_unstack_blocks([o[0] for o in outs], bc, bc + 1, Yv, Xv),
+                _unstack_blocks([o[1] for o in outs], bc, bc, Ym, Xm))
 
     return prepare, jv
 
 
-def _row_gather(a, nb, bc, rows, nrows_logical):
-    """[F, Y, X] -> [nb, F, rows, X]; block b covers global rows
-    [b*bc - 1, b*bc - 1 + rows); out-of-range rows are zeros."""
-    idx = np.arange(nb)[:, None] * bc - 1 + np.arange(rows)[None, :]
-    valid = (idx >= 0) & (idx < nrows_logical)
-    idxc = np.clip(idx, 0, a.shape[1] - 1)
-    out = a[:, jnp.asarray(idxc), :]            # [F, nb, rows, X]
-    out = jnp.where(jnp.asarray(valid)[None, :, :, None], out, 0.0)
-    return jnp.moveaxis(out, 1, 0)
+def _slab_views(a, nb, bc, rows):
+    """[..., Y, X] -> list of nb [..., rows, X] slabs; block b covers global
+    rows [b*bc - 1, b*bc - 1 + rows).
+
+    Zero-pad once + STATIC slices. The round-2 version built a stacked
+    [nb, ...] array with an advanced-indexing row gather and drove the
+    blocks through lax.map — the r3 profiler trace showed each gather at
+    ~280 us and each lax.map dynamic-update-slice at ~120 us on TPU
+    (gathers serialize; DUS with dynamic starts copies). Static slices are
+    contiguous copies (~5 us) and the unrolled block loop has no loop
+    machinery at all. Storage padding rows are zero by invariant, so
+    out-of-logical rows need no masking here (the kernel's edge mask
+    handles fake halo cell rows).
+    """
+    Y = a.shape[-2]
+    pad_bot = max(0, (nb - 1) * bc - 1 + rows - Y)
+    ap = jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(1, pad_bot), (0, 0)])
+    return [ap[..., b * bc : b * bc + rows, :] for b in range(nb)]
+
+
+def _edge_masks(nb, rows_c, Xm, dtype):
+    """Per-block cell-row masks zeroing the fake halo rows at domain edges
+    (host-precomputed: in-kernel iota/bool masking is a Mosaic-fragility
+    surface)."""
+    m = np.ones((nb, rows_c, Xm), np.float32)
+    m[0, 0, :] = 0.0
+    m[nb - 1, rows_c - 1, :] = 0.0
+    return [jnp.asarray(m[b], dtype) for b in range(nb)]
+
+
+def _unstack_blocks(blocks, bc, rows_owned, Y, X):
+    """Concatenate per-block owned rows back to [..., Y, X]."""
+    parts = [b[..., :bc, :] for b in blocks]
+    if rows_owned == bc + 1:   # vertex grids: last logical row from last block
+        parts.append(blocks[-1][..., bc : bc + 1, :])
+    body = jnp.concatenate(parts, axis=-2)
+    pad = Y - body.shape[-2]
+    if pad:
+        body = jnp.pad(body, [(0, 0)] * (body.ndim - 2) + [(0, pad), (0, 0)])
+    return body
 
 
 def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
@@ -197,18 +208,12 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                                    pad_to=(1, 1))
     resid_blk = _scalar_assembly(blk_grid, terms, F)
 
-    gather_v = partial(_row_gather, nb=nb, bc=bc, rows=rows_v,
-                       nrows_logical=ny + 1)
-    gather_m = partial(_row_gather, nb=nb, bc=bc, rows=rows_m,
-                       nrows_logical=ny)
-
     # The kernel is a PLAIN whole-slab pallas_call (the known-good shape of
-    # ops/pallas_residual.py); the block loop runs as a host-level lax.map
-    # over the stacked slabs. A grid=(nb,) version of the same kernel
-    # SIGABRTs the remote Mosaic compiler (in-kernel jax.jvp under a grid —
-    # bisected r2); sequential per-block launches cost ~nb kernel-launch
-    # overheads per sweep, still far below the ~25 unfused XLA ops they
-    # replace. The block index arrives as an SMEM scalar.
+    # ops/pallas_residual.py); the block loop is UNROLLED into nb static
+    # launches over static slab slices (see _slab_views — the r2 lax.map +
+    # gather staging dominated the trace). A grid=(nb,) version of the same
+    # kernel SIGABRTs the remote Mosaic compiler (in-kernel jax.jvp under a
+    # grid — bisected r2).
     def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, mask_ref, dt_ref,
                z_v_o, z_m_o, az_v_o, az_m_o, av_s, am_s):
         dt = dt_ref[0, 0]
@@ -274,57 +279,35 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
         interpret=interpret,
     )
 
-    # per-block edge masks, host-precomputed
-    _masks = np.ones((nb, rows_c, Xm), np.float32)
-    _masks[0, 0, :] = 0.0
-    _masks[nb - 1, rows_c - 1, :] = 0.0
-    _masks = jnp.asarray(_masks, dtype)
-
-    def call(rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s, dt_arr):
-        def per_block(args):
-            rv, rm, wv, wm, w0v, w0m, pvb, pmb, mk = args
-            return blk_call(rv, rm, wv, wm, w0v, w0m, pvb, pmb, mk, dt_arr)
-
-        return lax.map(per_block, (rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s,
-                                   pv_s, pm_s, _masks))
-
-    def _unstack(stack, rows_owned, Y, X):
-        """[nb, F, rows_owned, X] -> [F, Y, X]; blocks own rows [0, bc),
-        plus the final logical row from the last block (vertex only)."""
-        body = jnp.moveaxis(stack[:, :, :bc, :], 0, 1).reshape(F, nb * bc, X)
-        if rows_owned == bc + 1:   # vertex: add the last shared row
-            lastrow = stack[nb - 1, :, bc, :][:, None, :]
-            body = jnp.concatenate([body, lastrow], axis=1)
-        pad = Y - body.shape[1]
-        if pad:
-            body = jnp.concatenate(
-                [body, jnp.zeros((F, pad, X), stack.dtype)], axis=1)
-        return body
+    masks = _edge_masks(nb, rows_c, Xm, dtype)
 
     def _kernel_jvp_z(r, staged, dt):
         (wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s) = staged
-        rv_s = gather_v(r[0].astype(dtype))
-        rm_s = gather_m(r[1].astype(dtype))
+        rv_s = _slab_views(r[0].astype(dtype), nb, bc, rows_v)
+        rm_s = _slab_views(r[1].astype(dtype), nb, bc, rows_m)
         dt_arr = jnp.asarray([[dt]], dtype)
-        zvs, zms, avs, ams = call(
-            rv_s, rm_s, wv_s, wm_s, w0v_s, w0m_s, pv_s, pm_s, dt_arr)
-        z = (_unstack(zvs, bc + 1, Yv, Xv), _unstack(zms, bc, Ym, Xm))
-        az = (_unstack(avs, bc + 1, Yv, Xv), _unstack(ams, bc, Ym, Xm))
+        outs = [blk_call(rv_s[b], rm_s[b], wv_s[b], wm_s[b],
+                         w0v_s[b], w0m_s[b], pv_s[b], pm_s[b],
+                         masks[b], dt_arr)
+                for b in range(nb)]
+        z = (_unstack_blocks([o[0] for o in outs], bc, bc + 1, Yv, Xv),
+             _unstack_blocks([o[1] for o in outs], bc, bc, Ym, Xm))
+        az = (_unstack_blocks([o[2] for o in outs], bc, bc + 1, Yv, Xv),
+              _unstack_blocks([o[3] for o in outs], bc, bc, Ym, Xm))
         num = (jnp.sum(az[0] * r[0].astype(dtype))
                + jnp.sum(az[1] * r[1].astype(dtype)))
         den = jnp.sum(az[0] * az[0]) + jnp.sum(az[1] * az[1])
         return z, az, num, den
 
     def prepare(w, w0, pinv):
-        """Stage sweep-invariant block stacks (once per Newton iteration)."""
+        """Stage sweep-invariant per-block slabs (once per build)."""
         pv, pm = pinv   # [F, F, Yv, Xv], [F, F, Ym, Xm]
-        pv_s = gather_v(pv.reshape(F * F, Yv, Xv).astype(dtype)) \
-            .reshape(nb, F, F, rows_v, Xv)
-        pm_s = gather_m(pm.reshape(F * F, Ym, Xm).astype(dtype)) \
-            .reshape(nb, F, F, rows_m, Xm)
-        return (gather_v(w[0].astype(dtype)), gather_m(w[1].astype(dtype)),
-                gather_v(w0[0].astype(dtype)), gather_m(w0[1].astype(dtype)),
-                pv_s, pm_s)
+        return (_slab_views(w[0].astype(dtype), nb, bc, rows_v),
+                _slab_views(w[1].astype(dtype), nb, bc, rows_m),
+                _slab_views(w0[0].astype(dtype), nb, bc, rows_v),
+                _slab_views(w0[1].astype(dtype), nb, bc, rows_m),
+                _slab_views(pv.astype(dtype), nb, bc, rows_v),
+                _slab_views(pm.astype(dtype), nb, bc, rows_m))
 
     def sweep(x, r, n, staged, dt):
         def body(carry, _):

@@ -53,16 +53,27 @@ _RATIOS = (2, 3, 5, 7)
 
 def build_hierarchy(grid: CrossedTriGrid, max_levels: int = 10,
                     min_cells: int = 7) -> list[CrossedTriGrid]:
+    """Per-axis coarsening: each axis independently takes the smallest
+    workable ratio, so anisotropic grids SEMICOARSEN instead of stopping —
+    elast's 250×10 beam gets [250×10, 125×10, 25×10] (x-only below ny's
+    floor) where it previously had no hierarchy at all. Equal-ratio levels
+    stay exactly nested; mixed-ratio transfers are the general
+    interpolation (solve/transfer.py)."""
     grids = [grid]
     while len(grids) < max_levels:
         g = grids[-1]
-        ratios = (2,) if g.periodic else _RATIOS  # periodic transfers are R=2
-        r = next((r for r in ratios
-                  if g.nx % r == 0 and g.ny % r == 0
-                  and g.nx // r >= min_cells and g.ny // r >= min_cells), None)
-        if r is None:
+        ratios_try = (2,) if g.periodic else _RATIOS  # periodic: R=2 only
+
+        def pick(n):
+            return next((r for r in ratios_try
+                         if n % r == 0 and n // r >= min_cells), 1)
+
+        rx, ry = pick(g.nx), pick(g.ny)
+        if rx == 1 and ry == 1:
             break
-        grids.append(coarsen_grid(g, r))
+        if g.periodic and rx != ry:
+            break
+        grids.append(dataclasses.replace(g, nx=g.nx // rx, ny=g.ny // ry))
     return grids
 
 
@@ -70,12 +81,71 @@ def _cast(w, dtype):
     return jtu.tree_map(lambda a: a.astype(dtype), w)
 
 
+def coarse_dof_count(g: CrossedTriGrid, n_fields: int) -> int:
+    return n_fields * (g.n_vertices_y * g.n_vertices_x + g.ny * g.nx)
+
+
+def make_dense_coarse(g: CrossedTriGrid, residual_c, n_fields: int, dtype):
+    """Exact coarsest-level solver: materialize the coarse Jacobian with
+    ``jax.jacfwd`` (a few hundred tiny jvps, vmapped) and invert it densely.
+
+    LMR sweeps — fine as smoothers — are a weak coarse SOLVER for stiff
+    systems: elast's thin-beam bending modes stall them at ANY sweep count
+    (measured: FGMRES dead at ~3e-4 relative with 100-1200 coarse sweeps),
+    and an inexact coarse solve caps V-cycle quality everywhere. A dense
+    f32 inverse at ≲1500 dofs costs ~n³ ≲ 3 GFLOP per preconditioner build
+    — noise on the MXU — and makes the coarse correction exact. This is
+    the role AMG's direct coarse solve plays in the reference's
+    hypre_amg fallback (dolfin/elast.py:115-116).
+    """
+    ny, nx = g.ny, g.nx
+    nvy, nvx = g.n_vertices_y, g.n_vertices_x
+    Yv, Xv = g.vshape
+    Ym, Xm = g.mshape
+    F = n_fields
+    nv = F * nvy * nvx
+    nm = F * ny * nx
+
+    def flatten(w):
+        v, m = w
+        return jnp.concatenate([v[:, :nvy, :nvx].reshape(-1),
+                                m[:, :ny, :nx].reshape(-1)])
+
+    def unflatten(x):
+        v = jnp.zeros((F, Yv, Xv), x.dtype).at[:, :nvy, :nvx].set(
+            x[:nv].reshape(F, nvy, nvx))
+        m = jnp.zeros((F, Ym, Xm), x.dtype).at[:, :ny, :nx].set(
+            x[nv:].reshape(F, ny, nx))
+        return v, m
+
+    def build_inv(wl, w0l, dtl):
+        x0 = flatten(wl)
+        J = jax.jacfwd(
+            lambda x: flatten(residual_c(unflatten(x), w0l, dtl)))(x0)
+        # Row equilibration before the f32 inverse: PDE rows scale with the
+        # operator (elast: O(1e4)) while Dirichlet rows are O(1); the mixed
+        # scales push cond(J) past f32's range and the raw inverse emitted
+        # corrections with ||A z|| ~ 1e5 ||b|| (measured — it STALLED
+        # FGMRES). inv(D J) with D = 1/max|row| keeps only the physical
+        # conditioning; J^{-1} b = inv(DJ) (D b).
+        d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
+        A = jnp.linalg.inv(J * d[:, None])
+        return A, d
+
+    def solve(Jinv, b):
+        A, d = Jinv
+        return unflatten(A @ (d * flatten(b)))
+
+    return build_inv, solve
+
+
 def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              dtype=None, needs_coords: bool = False, *, nu_pre: int = 2,
              nu_post: int = 2, omega: float = 0.8, coarse_sweeps: int = 24,
              max_levels: int = 10, precond_dtype=jnp.float32,
              use_pallas: bool = False, use_tiled_sweeps: bool = False,
-             precond_rule: str | None = None):
+             precond_rule: str | None = None, min_cells: int = 7,
+             dense_coarse_max_dofs: int = 1500):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -86,7 +156,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     del omega  # step lengths are computed, not damped
     dtype = dtype or jnp.float64
     dirichlet_for = dirichlet_for or (lambda g: ())
-    grids = build_hierarchy(grid, max_levels=max_levels)
+    grids = build_hierarchy(grid, max_levels=max_levels,
+                            min_cells=min_cells)
     if precond_rule:
         # cheap-quadrature rediscretization for the whole hierarchy: grid
         # shapes/transfers are rule-independent, only the per-level operators
@@ -185,6 +256,13 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     Ps = [prolong_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     Rs = [restrict_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     injs = [inject_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    # exact dense coarse solve when the coarsest level is small enough
+    # (make_dense_coarse docstring); the fused whole-V-cycle kernel keeps
+    # its in-kernel sweep solve (no dense inverse inside Mosaic).
+    dense_coarse = None
+    if coarse_dof_count(grids[-1], n_fields) <= dense_coarse_max_dofs:
+        dense_coarse = make_dense_coarse(grids[-1], residuals[-1], n_fields,
+                                         precond_dtype)
     all_dyadic = all(grids[l].ny == 2 * grids[l + 1].ny
                      for l in range(len(grids) - 1))
 
@@ -308,6 +386,9 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 wl = injs[l](wl)
                 w0l = injs[l](w0l)
 
+        Jinv_coarse = (dense_coarse[0](wl, w0l, dtl)
+                       if dense_coarse is not None else None)
+
         def smooth(l, x, r, sweeps):
             """LMR sweeps, scanned so the J.v subgraph appears once.
             A whole smoothing phase is ONE fused Pallas kernel when available
@@ -326,13 +407,33 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             (x, r), _ = lax.scan(body, (x, r), None, length=sweeps)
             return x, r
 
+        def zero_bc_rows(l, w):
+            """Dirichlet rows carry constraint residuals (u - g), not PDE
+            residuals: restriction must not smear interior residual into
+            them, and coarse corrections must vanish there (the fine BC
+            rows are corrected exactly by the identity-row smoother).
+            Without this the coarse 'correction' on a clamped edge is
+            garbage scaled by the operator (elast's E=1e5 blasted it to
+            ||A z|| ~ 1e4 ||b|| — the V-cycle stalled FGMRES entirely)."""
+            rv, rm = w
+            for bc in level_bcs[l]:
+                f, i = bc.field, bc.index
+                if bc.side in ("left", "right"):
+                    rv = rv.at[f, :, i].set(0.0)
+                else:
+                    rv = rv.at[f, i, :].set(0.0)
+            return rv, rm
+
         def vcycle(l, b):
             jvp, _ = ops[l]
             if l == len(grids) - 1:
+                if Jinv_coarse is not None:
+                    return dense_coarse[1](Jinv_coarse, b)
                 x, _ = smooth(l, tr.zeros_like(b), b, coarse_sweeps)
                 return x
             x, r = smooth(l, tr.zeros_like(b), b, nu_pre)
-            x = tr.add(x, Ps[l](vcycle(l + 1, Rs[l](r))))
+            bc_ = zero_bc_rows(l + 1, Rs[l](r))
+            x = tr.add(x, zero_bc_rows(l, Ps[l](vcycle(l + 1, bc_))))
             r = tr.sub(b, jvp(x))
             x, _ = smooth(l, x, r, nu_post)
             return x

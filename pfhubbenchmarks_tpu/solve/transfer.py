@@ -105,46 +105,60 @@ def restrict(coarse: CrossedTriGrid, fine: CrossedTriGrid):
     return apply
 
 
-def _p1_weights(s: float, t: float, R: int):
+def _p1_weights(s: float, t: float, Rx: int, Ry: int = None):
     """(w00, w10, w01, w11, wc) of the coarse crossed-P1 basis at cell-local
-    point (s, t) ∈ [0, R]² (s along x, t along y; corners a00..a11, center c).
+    point (s, t) ∈ [0, Rx]×[0, Ry] (s along x, t along y; corners a00..a11,
+    center c). In NORMALIZED coordinates ŝ=s/Rx, t̂=t/Ry the four-triangle
+    region formulas are ratio-independent — which is what makes per-axis
+    (semicoarsening) ratios free: on the S triangle the P1 function is
+    a00(1-ŝ-t̂) + a10(ŝ-t̂) + 2c·t̂, and N/W/E by symmetry. The formulas
+    agree on region boundaries (continuity), so ties are free.
 
-    Region formulas: on the S triangle the P1 function is
-    a00 + (a10-a00)·s/R + (2c-a00-a10)·t/R, and N/W/E by symmetry. The
-    formulas agree on region boundaries (continuity), so ties are free.
+    For Rx ≠ Ry the coarse crossed space is NOT nested in the fine one
+    (coarse diagonals cross fine triangles); interpolation is still exact
+    on coarse linears and a standard non-Galerkin MG prolongation.
     """
-    sr, tr_, ur_s, ur_t = s / R, t / R, (R - s) / R, (R - t) / R
-    if t <= s and t <= R - s:       # S
-        return (1.0 - sr - tr_, sr - tr_, 0.0, 0.0, 2.0 * tr_)
-    if t >= s and t >= R - s:       # N
-        return (0.0, 0.0, 1.0 - sr - ur_t, sr - ur_t, 2.0 * ur_t)
-    if s <= t and s <= R - t:       # W
-        return (1.0 - tr_ - sr, 0.0, tr_ - sr, 0.0, 2.0 * sr)
-    return (0.0, 1.0 - tr_ - ur_s, 0.0, tr_ - ur_s, 2.0 * ur_s)  # E
+    if Ry is None:
+        Ry = Rx
+    sh, th = s / Rx, t / Ry
+    ush, uth = 1.0 - sh, 1.0 - th
+    if th <= sh and th <= ush:      # S
+        return (1.0 - sh - th, sh - th, 0.0, 0.0, 2.0 * th)
+    if th >= sh and th >= ush:      # N
+        return (0.0, 0.0, 1.0 - sh - uth, sh - uth, 2.0 * uth)
+    if sh <= th and sh <= uth:      # W
+        return (1.0 - th - sh, 0.0, th - sh, 0.0, 2.0 * sh)
+    return (0.0, 1.0 - th - ush, 0.0, th - ush, 2.0 * ush)  # E
+
+
+def ratios(coarse: CrossedTriGrid, fine: CrossedTriGrid) -> tuple[int, int]:
+    rx, ry = fine.nx // coarse.nx, fine.ny // coarse.ny
+    assert fine.nx == rx * coarse.nx and fine.ny == ry * coarse.ny, (
+        fine.nx, fine.ny, coarse.nx, coarse.ny)
+    return rx, ry
 
 
 def prolong_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
-    """Ratio-R nested P1 prolongation (exact interpolation, any integer R).
-
-    R² strided-set classes on [F, nyc, nxc] planes — used for the small
-    coarse levels of non-dyadic hierarchies, so cost is negligible.
-    """
+    """General-ratio P1 prolongation (exact interpolation, any integer
+    per-axis ratios — equal ratios are exactly nested, unequal ratios are
+    the semicoarsening prolongation for anisotropic hierarchies like
+    elast's 250×10 beam)."""
     nyc, nxc = coarse.ny, coarse.nx
-    R = fine.ny // nyc
-    assert fine.ny == R * nyc and fine.nx == R * nxc, (fine.ny, fine.nx, R)
+    Rx, Ry = ratios(coarse, fine)
 
     # host-precomputed weight tables per local offset class
-    wv = np.array([[_p1_weights(px, py, R) for px in range(R)]
-                   for py in range(R)])          # [R, R, 5] vertex classes
-    wm = np.array([[_p1_weights(px + 0.5, py + 0.5, R) for px in range(R)]
-                   for py in range(R)])          # [R, R, 5] center classes
+    wv = np.array([[_p1_weights(px, py, Rx, Ry) for px in range(Rx)]
+                   for py in range(Ry)])         # [Ry, Rx, 5] vertex classes
+    wm = np.array([[_p1_weights(px + 0.5, py + 0.5, Rx, Ry)
+                    for px in range(Rx)]
+                   for py in range(Ry)])         # [Ry, Rx, 5] center classes
 
     # XLA-op-count discipline (the first strided-scatter version cost ~2 R²
-    # ops per transfer — measurably slower V-cycles at 350²): batch all R²
-    # offset classes as ONE 5-term contraction + transpose/reshape, then a
-    # single contiguous block write. Weight tables reshape to [R², 5].
-    wv_t = wv.reshape(R * R, 5)
-    wm_t = wm.reshape(R * R, 5)
+    # ops per transfer — measurably slower V-cycles at 350²): batch all
+    # Ry·Rx offset classes as ONE 5-term contraction + transpose/reshape,
+    # then a single contiguous block write.
+    wv_t = wv.reshape(Ry * Rx, 5)
+    wm_t = wm.reshape(Ry * Rx, 5)
 
     def apply(wc):
         vc_p, mc_p = wc
@@ -156,30 +170,31 @@ def prolong_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
                        vc[:, 1:, :-1], vc[:, 1:, 1:], mc])
 
         def classes(wt):
-            """[R², 5] weights -> [F, R·nyc, R·nxc] interleaved block."""
+            """[Ry·Rx, 5] weights -> [F, Ry·nyc, Rx·nxc] interleaved block."""
             cls = jnp.tensordot(jnp.asarray(wt, vc.dtype), S, axes=1)
-            cls = cls.reshape(R, R, F, nyc, nxc)
-            cls = jnp.transpose(cls, (2, 3, 0, 4, 1))  # [F, nyc, R, nxc, R]
-            return cls.reshape(F, R * nyc, R * nxc)
+            cls = cls.reshape(Ry, Rx, F, nyc, nxc)
+            cls = jnp.transpose(cls, (2, 3, 0, 4, 1))  # [F, nyc, Ry, nxc, Rx]
+            return cls.reshape(F, Ry * nyc, Rx * nxc)
 
         Yf, Xf = fine.vshape
         vf = jnp.zeros((F, Yf, Xf), vc.dtype)
-        vf = vf.at[:, : R * nyc, : R * nxc].set(classes(wv_t))
+        vf = vf.at[:, : Ry * nyc, : Rx * nxc].set(classes(wv_t))
         # final fine-vertex row/col: 1D interpolation along coarse edges
-        frac = jnp.asarray(np.arange(R) / R, vc.dtype)
+        fracx = jnp.asarray(np.arange(Rx) / Rx, vc.dtype)
+        fracy = jnp.asarray(np.arange(Ry) / Ry, vc.dtype)
         top = vc[:, nyc, :]
-        row = ((1.0 - frac)[None, None, :] * top[:, :-1, None]
-               + frac[None, None, :] * top[:, 1:, None]).reshape(F, R * nxc)
-        vf = vf.at[:, R * nyc, : R * nxc].set(row)
+        row = ((1.0 - fracx)[None, None, :] * top[:, :-1, None]
+               + fracx[None, None, :] * top[:, 1:, None]).reshape(F, Rx * nxc)
+        vf = vf.at[:, Ry * nyc, : Rx * nxc].set(row)
         right = vc[:, :, nxc]
-        col = ((1.0 - frac)[None, None, :] * right[:, :-1, None]
-               + frac[None, None, :] * right[:, 1:, None]).reshape(F, R * nyc)
-        vf = vf.at[:, : R * nyc, R * nxc].set(col)
-        vf = vf.at[:, R * nyc, R * nxc].set(vc[:, nyc, nxc])
+        col = ((1.0 - fracy)[None, None, :] * right[:, :-1, None]
+               + fracy[None, None, :] * right[:, 1:, None]).reshape(F, Ry * nyc)
+        vf = vf.at[:, : Ry * nyc, Rx * nxc].set(col)
+        vf = vf.at[:, Ry * nyc, Rx * nxc].set(vc[:, nyc, nxc])
 
         Ym, Xm = fine.mshape
         mf = jnp.zeros((F, Ym, Xm), vc.dtype)
-        mf = mf.at[:, : R * nyc, : R * nxc].set(classes(wm_t))
+        mf = mf.at[:, : Ry * nyc, : Rx * nxc].set(classes(wm_t))
         return vf, mf
 
     return apply
@@ -204,24 +219,32 @@ def restrict_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
 
 
 def inject_state_general(coarse: CrossedTriGrid, fine: CrossedTriGrid):
-    """Ratio-R state injection: coarse vertices are fine vertices at stride
-    R; the coarse center sits on a fine center (odd R) or fine vertex
-    (even R)."""
+    """General-ratio state injection: evaluate the FINE P1 function at the
+    coarse node positions. Coarse vertices are always fine vertices; the
+    coarse center lands on a fine center (both ratios odd), a fine vertex
+    (both even), or the midpoint of a fine edge (mixed parity — the P1
+    function is linear along edges, so the value is the 2-point average)."""
     nyc, nxc = coarse.ny, coarse.nx
-    R = fine.ny // nyc
-    assert fine.ny == R * nyc and fine.nx == R * nxc
+    Rx, Ry = ratios(coarse, fine)
 
     def apply(wf):
         vf_p, mf_p = wf
-        vf = vf_p[:, : R * nyc + 1, : R * nxc + 1]
-        vc = vf[:, ::R, ::R]
-        if R % 2 == 0:
-            off = R // 2
-            mc = vf[:, off : R * nyc : R, off : R * nxc : R]
-        else:
-            off = (R - 1) // 2
-            mf = mf_p[:, : R * nyc, : R * nxc]
-            mc = mf[:, off : R * nyc : R, off : R * nxc : R]
+        vf = vf_p[:, : Ry * nyc + 1, : Rx * nxc + 1]
+        vc = vf[:, ::Ry, ::Rx]
+        oy, ox = (Ry - 1) // 2, (Rx - 1) // 2
+        if Rx % 2 == 1 and Ry % 2 == 1:
+            mf = mf_p[:, : Ry * nyc, : Rx * nxc]
+            mc = mf[:, oy : Ry * nyc : Ry, ox : Rx * nxc : Rx]
+        elif Rx % 2 == 0 and Ry % 2 == 0:
+            mc = vf[:, Ry // 2 : Ry * nyc : Ry, Rx // 2 : Rx * nxc : Rx]
+        elif Rx % 2 == 0:   # Ry odd: center column on a vertex line in x
+            cx = vf[:, : Ry * nyc + 1, Rx // 2 : Rx * nxc : Rx]
+            mc = 0.5 * (cx[:, oy : Ry * nyc : Ry, :]
+                        + cx[:, oy + 1 : Ry * nyc + 1 : Ry, :])
+        else:               # Ry even, Rx odd
+            cy = vf[:, Ry // 2 : Ry * nyc : Ry, : Rx * nxc + 1]
+            mc = 0.5 * (cy[:, :, ox : Rx * nxc : Rx]
+                        + cy[:, :, ox + 1 : Rx * nxc + 1 : Rx])
         F = vc.shape[0]
         Yc, Xc = coarse.vshape
         vc_p = jnp.zeros((F, Yc, Xc), vc.dtype).at[:, : nyc + 1, : nxc + 1].set(vc)
@@ -288,33 +311,26 @@ def inject_state_periodic(coarse: CrossedTriGrid, fine: CrossedTriGrid):
     return apply
 
 
-def ratio(coarse: CrossedTriGrid, fine: CrossedTriGrid) -> int:
-    r = fine.ny // coarse.ny
-    assert (fine.ny == r * coarse.ny and fine.nx == r * coarse.nx
-            and fine.nx // coarse.nx == r), (fine.ny, fine.nx, coarse.ny, coarse.nx)
-    return r
-
-
 def prolong_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
-    """Dispatch: periodic (ratio 2), hand-optimized strided R=2, or the
-    general odd-ratio path."""
+    """Dispatch: periodic (ratio 2), hand-optimized strided (2, 2), or the
+    general per-axis-ratio path."""
     if fine.periodic:
         return prolong_periodic(coarse, fine)
-    return (prolong if ratio(coarse, fine) == 2
+    return (prolong if ratios(coarse, fine) == (2, 2)
             else prolong_general)(coarse, fine)
 
 
 def restrict_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
     if fine.periodic:
         return restrict_periodic(coarse, fine)
-    return (restrict if ratio(coarse, fine) == 2
+    return (restrict if ratios(coarse, fine) == (2, 2)
             else restrict_general)(coarse, fine)
 
 
 def inject_any(coarse: CrossedTriGrid, fine: CrossedTriGrid):
     if fine.periodic:
         return inject_state_periodic(coarse, fine)
-    return (inject_state if ratio(coarse, fine) == 2
+    return (inject_state if ratios(coarse, fine) == (2, 2)
             else inject_state_general)(coarse, fine)
 
 

@@ -62,7 +62,9 @@ def test_tiled_sweep_matches_xla_bench1():
 
 
 def test_tiled_sweep_matches_xla_bench2_six_fields():
-    _run_case("bench2", nx=12, block_rows=4)
+    # nb=2 blocks: interpret-mode lowering cost grows with the
+    # unrolled per-block kernel instances (production: nb<=7)
+    _run_case("bench2", nx=12, block_rows=6, n_sweeps=1)
 
 
 def test_tiled_jvp_matches_xla():

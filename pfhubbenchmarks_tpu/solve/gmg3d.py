@@ -17,18 +17,27 @@ from pfhubbenchmarks_tpu.fem.assembly3d import make_residual3d
 from pfhubbenchmarks_tpu.fem.grid3d import TetGrid
 from pfhubbenchmarks_tpu.solve import tree as tr
 from pfhubbenchmarks_tpu.solve.precond import make_block_jacobi3d
-from pfhubbenchmarks_tpu.solve.transfer3d import inject_state3d, prolong3d, restrict3d
+from pfhubbenchmarks_tpu.solve.transfer3d import (inject3d_any, prolong3d_any,
+                                                  restrict3d_any)
 
 
 def build_hierarchy3d(grid: TetGrid, max_levels: int = 10,
                       min_cells: int = 4) -> list[TetGrid]:
+    """Uniform coarsening with mixed ratios {2, 3, 5}: Kuhn-P1 spaces are
+    nested under ANY integer refinement (transfer3d._kuhn_weights), so
+    bench1_3d's 50³ coarsens 50³ → 25³ → 5³ instead of stopping at the odd
+    25³ — whose 24-sweep 'coarse solve' was ~3 fine-sweep equivalents per
+    V-cycle."""
     grids = [grid]
-    while (len(grids) < max_levels
-           and all(n % 2 == 0 for n in (grids[-1].nx, grids[-1].ny, grids[-1].nz))
-           and min(grids[-1].nx, grids[-1].ny, grids[-1].nz) // 2 >= min_cells):
+    while len(grids) < max_levels:
         g = grids[-1]
-        grids.append(dataclasses.replace(g, nx=g.nx // 2, ny=g.ny // 2,
-                                         nz=g.nz // 2))
+        r = next((r for r in (2, 3, 5)
+                  if all(n % r == 0 and n // r >= min_cells
+                         for n in (g.nx, g.ny, g.nz))), None)
+        if r is None:
+            break
+        grids.append(dataclasses.replace(g, nx=g.nx // r, ny=g.ny // r,
+                                         nz=g.nz // r))
     return grids
 
 
@@ -51,9 +60,37 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                                        dtype=precond_dtype,
                                        needs_coords=needs_coords)
                    for g, bcs in zip(grids, level_bcs)]
-    Ps = [prolong3d(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
-    Rs = [restrict3d(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
-    injs = [inject_state3d(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    Ps = [prolong3d_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    Rs = [restrict3d_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    injs = [inject3d_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
+    # exact dense coarse solve (see solve/gmg.make_dense_coarse rationale)
+    gc = grids[-1]
+    nc_dofs = n_fields * (gc.nz + 1) * (gc.ny + 1) * (gc.nx + 1)
+    dense_coarse = None
+    if nc_dofs <= 1500:
+        Zc, Yc, Xc = gc.vshape
+        nzc, nyc, nxc = gc.nz, gc.ny, gc.nx
+        res_c = residuals[-1]
+
+        def _flat(w):
+            return w[0][:, : nzc + 1, : nyc + 1, : nxc + 1].reshape(-1)
+
+        def _unflat(x):
+            v = jnp.zeros((n_fields, Zc, Yc, Xc), x.dtype)
+            return (v.at[:, : nzc + 1, : nyc + 1, : nxc + 1].set(
+                x.reshape(n_fields, nzc + 1, nyc + 1, nxc + 1)),)
+
+        def _build_inv(wl, w0l, dtl):
+            J = jax.jacfwd(lambda x: _flat(
+                res_c(_unflat(x), w0l, dtl)))(_flat(wl))
+            d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
+            return jnp.linalg.inv(J * d[:, None]), d
+
+        def _dc_solve(Jinv, b):
+            A, d = Jinv
+            return _unflat(A @ (d * _flat(b)))
+
+        dense_coarse = (_build_inv, _dc_solve)
 
     def _cast(w, dt_):
         return jtu.tree_map(lambda a: a.astype(dt_), w)
@@ -72,6 +109,9 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                 wl = injs[l](wl)
                 w0l = injs[l](w0l)
 
+        Jinv_coarse = (dense_coarse[0](wl, w0l, dtl)
+                       if dense_coarse is not None else None)
+
         def smooth(l, x, r, sweeps):
             jvp, bj = ops[l]
 
@@ -85,13 +125,32 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
             (x, r), _ = lax.scan(body, (x, r), None, length=sweeps)
             return x, r
 
+        def zero_bc_rows(l, w):
+            # constraint rows carry u - g, not PDE residual: keep restricted
+            # residuals and prolonged corrections out of them (see the 2D
+            # cycle's zero_bc_rows for the measured failure mode)
+            (rv,) = w
+            for bc in level_bcs[l]:
+                f, i = bc.field, bc.index
+                ax = bc.face[0]
+                if ax == "x":
+                    rv = rv.at[f, :, :, i].set(0.0)
+                elif ax == "y":
+                    rv = rv.at[f, :, i, :].set(0.0)
+                else:
+                    rv = rv.at[f, i, :, :].set(0.0)
+            return (rv,)
+
         def vcycle(l, b):
             jvp, _ = ops[l]
             if l == len(grids) - 1:
+                if Jinv_coarse is not None:
+                    return dense_coarse[1](Jinv_coarse, b)
                 x, _ = smooth(l, tr.zeros_like(b), b, coarse_sweeps)
                 return x
             x, r = smooth(l, tr.zeros_like(b), b, nu_pre)
-            x = tr.add(x, Ps[l](vcycle(l + 1, Rs[l](r))))
+            bc_ = zero_bc_rows(l + 1, Rs[l](r))
+            x = tr.add(x, zero_bc_rows(l, Ps[l](vcycle(l + 1, bc_))))
             r = tr.sub(b, jvp(x))
             x, _ = smooth(l, x, r, nu_post)
             return x

@@ -31,3 +31,47 @@ def test_bench1_3d_gmg_short_run():
     assert (np.diff(res.rows[:, 1]) < 0).all()
     # gmg path keeps Krylov counts small
     assert max(s.krylov_iters for s in res.stats) < 200
+
+
+def test_prolong3d_general_matches_specialized_ratio2():
+    import jax.numpy as jnp
+
+    from pfhubbenchmarks_tpu.fem.grid3d import TetGrid
+    from pfhubbenchmarks_tpu.solve.transfer3d import (
+        prolong3d, prolong3d_general, restrict3d, restrict3d_general)
+
+    coarse = TetGrid(4, 4, 4, 1.0, 1.0, 1.0)
+    fine = TetGrid(8, 8, 8, 1.0, 1.0, 1.0)
+    rng = np.random.default_rng(0)
+    wc = (jnp.asarray(rng.standard_normal((1,) + coarse.vshape)),)
+    rf = (jnp.asarray(rng.standard_normal((1,) + fine.vshape)),)
+    np.testing.assert_allclose(
+        np.asarray(prolong3d_general(coarse, fine)(wc)[0]),
+        np.asarray(prolong3d(coarse, fine)(wc)[0]), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(restrict3d_general(coarse, fine)(rf)[0]),
+        np.asarray(restrict3d(coarse, fine)(rf)[0]), atol=1e-13)
+
+
+def test_prolong3d_general_linear_exact_ratio5():
+    import jax.numpy as jnp
+
+    from pfhubbenchmarks_tpu.fem.grid3d import TetGrid
+    from pfhubbenchmarks_tpu.solve.transfer3d import prolong3d_general
+
+    coarse = TetGrid(2, 2, 2, 1.0, 1.0, 1.0)
+    fine = TetGrid(10, 10, 10, 1.0, 1.0, 1.0)
+    f = lambda x, y, z: 0.3 + 1.1 * x - 0.7 * y + 2.2 * z
+    wc = tuple(jnp.asarray(a) for a in coarse.interpolate([f]))
+    expect = fine.interpolate([f])
+    got = prolong3d_general(coarse, fine)(wc)
+    np.testing.assert_allclose(np.asarray(got[0]), expect[0], atol=1e-12)
+
+
+def test_hierarchy3d_mixed_ratios_50():
+    from pfhubbenchmarks_tpu.fem.grid3d import TetGrid
+    from pfhubbenchmarks_tpu.solve.gmg3d import build_hierarchy3d
+
+    g = TetGrid(50, 50, 50, 100.0, 100.0, 100.0)
+    sizes = [h.nz for h in build_hierarchy3d(g)]
+    assert sizes == [50, 25, 5], sizes

@@ -175,6 +175,7 @@ class BenchmarkProblem:
                 coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
                 use_pallas=self._pallas_backend_ok(),
                 use_tiled_sweeps=s.use_tiled_sweeps,
+                fuse_vcycle=s.fuse_vcycle,
                 precond_rule=s.precond_rule, min_cells=s.gmg_min_cells,
             )
         return BUILDERS[kind](

@@ -147,7 +147,10 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
         time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=100.0, grow_threshold=5),
         # precond_rule dunavant2: krylov 51 -> 56 over 5 steps at 140^2 (r3
         # lab); dunavant1 degrades the reaction-dominated AC block (x4.4)
-        solver=SolverConfig(line_search="basic", precond_rule="dunavant2"),
+        # nu 3/3: measured optimum with the exact dense 7^2 coarse solve
+        # (r3 TPU scan: 24.4 s @ nu2/2 -> 20.8 s @ nu3/3, krylov 2400->2049)
+        solver=SolverConfig(line_search="basic", precond_rule="dunavant2",
+                            gmg_nu_pre=3, gmg_nu_post=3),
         abort_condition=lambda row: row["total_free_energy"] < 0.0,
         abort_device=lambda row: row[1] < 0.0,
         **overrides,

@@ -95,6 +95,12 @@ class SolverConfig:
     # f32 is trusted only while ||F|| > margin * (measured f32 assembly
     # noise floor at the initial guess); see solve/newton.py.
     fast_residual_margin: float = 1000.0
+    # Two-stage precision for LINE-SEARCH residuals only (cp's secant, bt's
+    # decrease test): these steer the step length and never feed the carry,
+    # Krylov RHS, or convergence decisions, so the f32 path is count-safe
+    # (verified: bench2/bench6 trajectories identical). Saves one emulated
+    # f64 residual per Newton iteration on cp/bt benchmarks.
+    fast_linesearch: bool = True
     # Fused Pallas kernels for J.v products: 'auto' enables them on TPU
     # backends when the grids fit VMEM (ops/pallas_residual.py).
     use_pallas: str = "auto"        # 'auto' | 'on' | 'off'
@@ -104,6 +110,14 @@ class SolverConfig:
     # edge masks (in-kernel iota/bool masking SIGABRTs the remote Mosaic
     # compiler). Measured: bench3 51->40 s, bench2 55->44 s.
     use_tiled_sweeps: bool = True
+    # Whole-V-cycle fusion (ops/pallas_vcycle.py): ONE kernel per M^-1
+    # application, with the (z, Az) matvec pair fused in. 'auto' engages it
+    # whenever the dyadic/no-BC/VMEM gates pass — right for bench1 (2-field
+    # 100^2: 0.22 ms/apply). 'off' keeps the per-level whole-phase kernels,
+    # which can win on wider systems (bench2 6-field: fused apply measured
+    # 1.7 ms vs ~0.04 ms per smoothing phase) and composes with the exact
+    # dense coarse solve, which the fused kernel lacks.
+    fuse_vcycle: str = "auto"       # 'auto' | 'off'
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
     # When to (re)build the preconditioner: 'newton' = every Newton
     # iteration (SNES default), 'solve' = once per nonlinear solve at the

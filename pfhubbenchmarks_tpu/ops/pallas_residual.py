@@ -31,6 +31,19 @@ from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 
 _ZERO_TOL = 1e-300
 
+# Mosaic's DEFAULT scoped-VMEM budget is 16 MB — but v5e has 128 MiB of
+# physical VMEM, and CompilerParams(vmem_limit_bytes=...) raises the cap
+# per kernel. Probed on TPU (r3, .scratch/vmem_probe2.log): the 6-field
+# 100² and 2-field 350² whole-phase sweep kernels — far beyond the 16 MB
+# stack — compile at a 110 MB limit and run in 0.03-0.04 ms (VMEM-resident
+# VPU), vs ~0.5-1 ms for the multi-launch tiled path they replace.
+VMEM_LIMIT_BYTES = 110 * 2**20
+
+
+def _compiler_params(interpret: bool):
+    return (None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES))
+
 
 def _scalar_assembly(grid: CrossedTriGrid, terms, n_fields: int):
     """Residual with all element contractions unrolled to scalar FMAs."""
@@ -109,7 +122,7 @@ def _tiled_slab_bytes(grid: CrossedTriGrid, dtype_bytes: int = 4) -> int:
 
 
 def fits_vmem(grid: CrossedTriGrid, n_fields: int, nq: int = 4,
-              dtype_bytes: int = 4, budget: int = 15 * 2**20,
+              dtype_bytes: int = 4, budget: int = 100 * 2**20,
               kernel: str = "jvp") -> bool:
     """Feasibility guard for whole-array kernels vs the 16 MB scoped VMEM.
 
@@ -157,6 +170,7 @@ def _pallas_call(grid, n_fields, dtype, kernel, n_vmem_inputs, interpret):
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )
 
@@ -299,6 +313,7 @@ def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
                             for _ in range(4)),
             scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
                             pltpu.VMEM((F, Ym, Xm), dtype)],
+            compiler_params=_compiler_params(interpret),
             interpret=interpret,
         )(x[0], x[1], r[0], r[1], w[0], w[1], w0[0], w0[1], pinv_v, pinv_m,
           dt_arr)
@@ -387,6 +402,7 @@ def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                             for _ in range(4)),
             scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
                             pltpu.VMEM((F, Ym, Xm), dtype)],
+            compiler_params=_compiler_params(interpret),
             interpret=interpret,
         )(x[0], x[1], r[0], r[1], w[0], w[1], w0[0], w0[1], pinv_v, pinv_m,
           dt_arr)

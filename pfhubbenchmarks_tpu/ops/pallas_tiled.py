@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
-from pfhubbenchmarks_tpu.ops.pallas_residual import _scalar_assembly
+from pfhubbenchmarks_tpu.ops.pallas_residual import (_compiler_params,
+                                                     _scalar_assembly)
 
 
 def choose_block_rows(ny: int, target: int = 32) -> int | None:
@@ -117,6 +118,7 @@ def make_tiled_jvp(grid: CrossedTriGrid, terms, n_fields: int,
                    jax.ShapeDtypeStruct((F, bc, Xm), dtype)),
         scratch_shapes=[pltpu.VMEM((F, rows_v, Xv), dtype),
                         pltpu.VMEM((F, rows_m, Xm), dtype)],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )
 
@@ -276,6 +278,7 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                    jax.ShapeDtypeStruct((F, bc, Xm), dtype)),
         scratch_shapes=[pltpu.VMEM((F, rows_v, Xv), dtype),
                         pltpu.VMEM((F, rows_m, Xm), dtype)],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )
 

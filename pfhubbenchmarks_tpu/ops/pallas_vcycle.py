@@ -224,6 +224,8 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in out_shape),
         scratch_shapes=scratch,
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20)),
         interpret=interpret,
     )
 

@@ -145,7 +145,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              max_levels: int = 10, precond_dtype=jnp.float32,
              use_pallas: bool = False, use_tiled_sweeps: bool = False,
              precond_rule: str | None = None, min_cells: int = 7,
-             dense_coarse_max_dofs: int = 1500):
+             dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto"):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -273,8 +273,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     # in-kernel MXU transfer matrices encode the R=2 stencil), fine level
     # within the Mosaic scoped-VMEM envelope.
     fused = None
-    if (use_pallas and not needs_coords and not grid.periodic
-            and len(grids) >= 2 and all_dyadic
+    if (use_pallas and fuse_vcycle != "off" and not needs_coords
+            and not grid.periodic and len(grids) >= 2 and all_dyadic
             and all(not b for b in level_bcs)):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle

@@ -163,7 +163,34 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
                 return res_fn(x)
 
         n0 = tr.norm(F0)
-        line_search = _make_line_search(cfg.line_search, res_staged)
+        # Line-search residuals only steer the step length (cp's secant /
+        # bt's sufficient-decrease test) — they never enter the carry, the
+        # Krylov RHS, or a convergence decision — so a two-stage f32 path
+        # here is count-safe where fast_residual is not: at large ||F|| the
+        # f32 evaluation perturbs lambda by ~the assembly noise floor /
+        # ||F|| << 1, and near the thresholds it self-selects f64.
+        # bench2 pays one f64 residual per Newton iteration for cp
+        # (measured 4.7 ms each, 583 iterations).
+        if residual_lowp is not None and cfg.fast_linesearch \
+                and cfg.line_search != "basic":
+            F0_ls = (residual_lowp(_cast(w_guess, lowp), w_prev_lp, dt_lp)
+                     if not cfg.fast_residual else F0_32)
+            floor_ls = tr.norm(tr.sub(_cast(F0_ls, F0[0].dtype), F0))
+            switch_ls = jnp.maximum(
+                cfg.fast_residual_margin * floor_ls,
+                max(cfg.newton_atol * 100.0, (cfg.report_atol or 0.0) * 10.0))
+
+            def ls_res(x, gate):
+                F32 = residual_lowp(_cast(x, lowp), w_prev_lp, dt_lp)
+                n32 = tr.norm(F32).astype(gate.dtype)
+                need64 = (gate < switch_ls) | (n32 < switch_ls)
+                return lax.cond(
+                    need64, lambda _: res_fn(x),
+                    lambda _: _cast(F32, gate.dtype), None)
+
+            line_search = _make_line_search(cfg.line_search, ls_res)
+        else:
+            line_search = _make_line_search(cfg.line_search, res_staged)
         # 'solve' lag: one build at the initial guess, reused across Newton
         # iterations (hoisted out of the while_loop as a loop-invariant).
         # A lagged preconditioner must NOT expose the fused minv_matvec pair

@@ -43,5 +43,8 @@ def test_fits_vmem_scaling():
     pb = get_benchmark("bench1")
     assert fits_vmem(pb.grid, 2)          # 100^2, 2 fields: easily fits
     big = get_benchmark("bench3")
-    assert not fits_vmem(big.grid, 2)     # 350^2 intermediates exceed VMEM;
-    # bench3 falls back to the XLA assembly path automatically
+    # 350^2 fits the RAISED scoped-VMEM budget (CompilerParams
+    # vmem_limit_bytes=110MB, probed on TPU) but not the legacy 16 MB
+    # Mosaic default — the guard must track the budget actually requested
+    assert fits_vmem(big.grid, 2)
+    assert not fits_vmem(big.grid, 2, budget=15 * 2**20)

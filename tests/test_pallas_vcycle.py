@@ -18,8 +18,12 @@ def test_fused_vcycle_matches_xla_vcycle():
     F = problem.n_fields
     nu_pre, nu_post, coarse = 2, 2, 8
 
+    # dense_coarse_max_dofs=0: the fused kernel solves the coarsest level by
+    # sweeps (no dense inverse inside Mosaic), so compare against the
+    # sweep-coarse XLA cycle — identical math, different lowering
     xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
-                         nu_pre=nu_pre, nu_post=nu_post, coarse_sweeps=coarse)
+                         nu_pre=nu_pre, nu_post=nu_post, coarse_sweeps=coarse,
+                         dense_coarse_max_dofs=0)
 
     grids = build_hierarchy(g)
     assert len(grids) == 2

@@ -129,3 +129,23 @@ def test_cp_line_search_survives_skew_system():
     res = solve(x0, x0, 1.0)
     assert bool(res.converged)
     assert float(res.res_norm) < 1e-7
+
+
+def test_elast_dense_direct_matches_beam_theory():
+    """elast's production solver (dense MXU direct + Newton refinement) on a
+    reduced 50x10 beam: converges and matches plane-strain Euler-Bernoulli
+    tip deflection within bending-theory accuracy."""
+    from pfhubbenchmarks_tpu.benchmarks import get_benchmark
+    from pfhubbenchmarks_tpu.fem.sample import eval_at_points
+
+    pb = get_benchmark("elast", nx=50, ny=10, Lx=5.0)
+    newton = make_newton_solver(pb.residual(), pb.solver,
+                                pb.precond_builder(),
+                                residual_lowp=pb.residual_lowp())
+    w0 = pb.initial_state()
+    res = newton(w0, w0, 1.0)
+    assert bool(res.converged), float(res.res_norm)
+    tip = float(eval_at_points(pb.grid, res.x, 5.0, 0.5)[1])
+    euler = -3 * 1e-3 * 5.0**4 / (2 * 1e5 * 1.0**2) * (1 - 0.3**2)
+    # short beam (L/H=5): shear deflection adds ~10% over Euler-Bernoulli
+    assert abs(tip / euler - 1.0) < 0.25, (tip, euler)

@@ -311,7 +311,16 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 z, az = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
                 return _cast(z, dtype), _cast(az, dtype)
 
-            Minv_fused.minv_matvec = minv_matvec
+            # The fused kernel's fine-level A z is assembled on THIS
+            # hierarchy's grids. Under precond_rule those are a cheap-rule
+            # REDISCRETIZATION of the outer operator, so exposing the pair
+            # would hand FGMRES a matvec that disagrees with the true J.v:
+            # the Arnoldi relation breaks, the true-residual restart gate
+            # sees no progress, and every solve reports failure (observed:
+            # bench2 dt_min stall the moment the 6-field fused V-cycle
+            # first fit VMEM — its dunavant1 A z replaced the ffc3 matvec).
+            if precond_rule is None:
+                Minv_fused.minv_matvec = minv_matvec
             return Minv_fused
 
         ops = []

@@ -77,3 +77,24 @@ def test_fused_vcycle_matches_xla_vcycle():
     for a, b in zip(az, az_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_no_fused_matvec_under_precond_rule():
+    """A rediscretized (precond_rule) hierarchy must NOT export the fused
+    (z, Az) pair: its fine-level Az is the cheap-rule operator, not the
+    outer J.v, and feeding it to FGMRES breaks the Arnoldi relation (every
+    solve then 'fails' on the true-residual gate — bench2 stalled at dt_min
+    the moment its 6-field fused V-cycle first fit VMEM)."""
+    problem = make(nx=16, ny=16)
+    g = problem.grid
+    F = problem.n_fields
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+
+    same_rule = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         use_pallas=True)(w, w, dt)
+    assert hasattr(same_rule, "minv_matvec")
+
+    cheap_rule = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                          use_pallas=True, precond_rule="dunavant1")(w, w, dt)
+    assert not hasattr(cheap_rule, "minv_matvec")

@@ -90,7 +90,8 @@ class _LevelMats:
 def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_pre: int = 2, nu_post: int = 2,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
-                      with_matvec: bool = False, interpret: bool = False):
+                      with_matvec: bool = False, matvec_grid=None,
+                      interpret: bool = False):
     """Returns ``vcycle(r, w, w0, dt, pinvs) -> z`` (one kernel launch).
 
     ``r``/``w``/``w0`` are fine-level states ``(v, m)``; ``pinvs`` is a list
@@ -102,10 +103,20 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     the preconditioned vector, same linearization): FGMRES always follows
     ``z = M^-1 v`` with ``w = A z``, so merging them saves one kernel launch
     and an HBM round-trip of ``z`` per Krylov iteration.
+
+    ``matvec_grid`` (default ``grids[0]``): the grid whose quadrature rule
+    assembles the EXPORTED ``A z``. Under ``SolverConfig.precond_rule`` the
+    hierarchy ``grids`` is a reduced-rule rediscretization — fine for the
+    V-cycle's internal smoothing/residuals, but the exported matvec must be
+    the TRUE outer operator or FGMRES's Arnoldi relation breaks (observed:
+    bench2 dt_min stall). Passing the full-rule fine grid here keeps the
+    one-kernel-per-iteration pair valid under precond_rule.
     """
     L = len(grids)
     F = n_fields
     residuals = [_scalar_assembly(g, terms, n_fields) for g in grids]
+    residual_mv = (residuals[0] if matvec_grid is None
+                   else _scalar_assembly(matvec_grid, terms, n_fields))
     mat_arrays = []
     for l in range(L - 1):
         mat_arrays += _mat_list(
@@ -200,9 +211,13 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         out_v[:] = z[0]
         out_m[:] = z[1]
         if with_matvec:
-            Av, Am = Az(0, z)
-            mv_out[0][:] = Av
-            mv_out[1][:] = Am
+            # exported pair: TRUE-rule fine-level J.v (see matvec_grid note)
+            _, planes = jax.jvp(
+                lambda u: residual_mv(u, w0_l[0], dt), (w_l[0],), (z,))
+            _scatter_refs(planes, az[0][0], az[0][1], F, shapes[0][2],
+                          shapes[0][3])
+            mv_out[0][:] = az[0][0][:]
+            mv_out[1][:] = az[0][1][:]
 
     (Yv, Xv), (Ym, Xm) = shapes[0][0], shapes[0][1]
     scratch = []

@@ -279,12 +279,16 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
 
-        if fits_vmem(grids[0], n_fields, nq=grids[0].tab().nq,
+        # gate on the TRUE rule's nq: the exported matvec adds one
+        # full-rule jvp subgraph to the kernel regardless of precond_rule
+        if fits_vmem(grids[0], n_fields,
+                     nq=max(grids[0].tab().nq, grid.tab().nq),
                      kernel="vcycle"):
             fused = make_fused_vcycle(
                 grids, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
                 coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
-                with_matvec=True)
+                with_matvec=True,
+                matvec_grid=(grid if precond_rule else None))
 
     def build(w, w0, dt):
         if fused is not None:
@@ -311,16 +315,15 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 z, az = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
                 return _cast(z, dtype), _cast(az, dtype)
 
-            # The fused kernel's fine-level A z is assembled on THIS
-            # hierarchy's grids. Under precond_rule those are a cheap-rule
-            # REDISCRETIZATION of the outer operator, so exposing the pair
-            # would hand FGMRES a matvec that disagrees with the true J.v:
-            # the Arnoldi relation breaks, the true-residual restart gate
-            # sees no progress, and every solve reports failure (observed:
-            # bench2 dt_min stall the moment the 6-field fused V-cycle
-            # first fit VMEM — its dunavant1 A z replaced the ffc3 matvec).
-            if precond_rule is None:
-                Minv_fused.minv_matvec = minv_matvec
+            # The exported A z must be the TRUE outer operator — under
+            # precond_rule the hierarchy is a cheap-rule rediscretization,
+            # and handing FGMRES its A z breaks the Arnoldi relation (the
+            # true-residual restart gate then sees no progress and every
+            # solve reports failure; observed as a bench2 dt_min stall).
+            # make_fused_vcycle therefore assembles the exported pair on
+            # ``matvec_grid`` (the full-rule fine grid), so the pair is
+            # valid for any precond_rule.
+            Minv_fused.minv_matvec = minv_matvec
             return Minv_fused
 
         ops = []

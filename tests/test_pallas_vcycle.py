@@ -79,22 +79,65 @@ def test_fused_vcycle_matches_xla_vcycle():
                                    rtol=2e-4, atol=2e-5)
 
 
-def test_no_fused_matvec_under_precond_rule():
-    """A rediscretized (precond_rule) hierarchy must NOT export the fused
-    (z, Az) pair: its fine-level Az is the cheap-rule operator, not the
-    outer J.v, and feeding it to FGMRES breaks the Arnoldi relation (every
+def test_fused_matvec_is_true_rule_under_precond_rule():
+    """A rediscretized (precond_rule) hierarchy exports the fused (z, Az)
+    pair with Az assembled on the TRUE rule (``matvec_grid``), never the
+    cheap rule: a cheap-rule Az breaks FGMRES's Arnoldi relation (every
     solve then 'fails' on the true-residual gate — bench2 stalled at dt_min
     the moment its 6-field fused V-cycle first fit VMEM)."""
+    import dataclasses
+
+    import jax
+
+    from pfhubbenchmarks_tpu.fem.assembly import make_residual
+
     problem = make(nx=16, ny=16)
     g = problem.grid
     F = problem.n_fields
     w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
     dt = jnp.asarray(0.5, jnp.float32)
 
+    # the builder exports the pair for both same-rule and cheap-rule builds
     same_rule = make_gmg(g, problem.terms, F, dtype=jnp.float32,
                          use_pallas=True)(w, w, dt)
     assert hasattr(same_rule, "minv_matvec")
-
     cheap_rule = make_gmg(g, problem.terms, F, dtype=jnp.float32,
                           use_pallas=True, precond_rule="dunavant1")(w, w, dt)
-    assert not hasattr(cheap_rule, "minv_matvec")
+    assert hasattr(cheap_rule, "minv_matvec")
+
+    # interpret-mode check of the exported Az: cheap-rule hierarchy +
+    # matvec_grid=g must produce the ffc3 J.v, not the dunavant1 J.v
+    grids_cheap = [dataclasses.replace(gl, rule_name="dunavant1")
+                   for gl in build_hierarchy(g)]
+    fused = make_fused_vcycle(grids_cheap, problem.terms, F,
+                              dtype=jnp.float32, with_matvec=True,
+                              matvec_grid=g, interpret=True)
+    pinvs = []
+    wl = w
+    for l, gl in enumerate(grids_cheap):
+        pinvs.append(make_block_jacobi(gl, problem.terms, F,
+                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
+        if l + 1 < len(grids_cheap):
+            wl = inject_state(grids_cheap[l + 1], grids_cheap[l])(wl)
+    rng = np.random.default_rng(1)
+    r_v = np.zeros((F,) + g.vshape, np.float32)
+    r_m = np.zeros((F,) + g.mshape, np.float32)
+    r_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    r = (jnp.asarray(r_v), jnp.asarray(r_m))
+    z, az = fused(r, w, w, dt, pinvs)
+
+    res_true = make_residual(g, problem.terms, F, dtype=jnp.float32)
+    _, az_true = jax.jvp(lambda u: res_true(u, w, dt), (w,), (z,))
+    g_cheap = dataclasses.replace(g, rule_name="dunavant1")
+    res_cheap = make_residual(g_cheap, problem.terms, F, dtype=jnp.float32)
+    _, az_cheap = jax.jvp(lambda u: res_cheap(u, w, dt), (w,), (z,))
+
+    for a, b in zip(az, az_true):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    # and it is NOT the cheap-rule product
+    diff = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(az, az_cheap))
+    assert diff > 1e-3

@@ -18,9 +18,11 @@ the coarse solve — into a single ``pallas_call``:
 - the J.v at each level is ``jax.jvp`` of the scalar-FMA assembly
   (ops/pallas_residual._scalar_assembly) traced in-kernel.
 
-Applicable to Dirichlet-free 2D problems whose finest level passes
-``fits_vmem`` (bench1's 100^2 2-field CH being the headline case,
-dolfin/bench1.py). Dirichlet problems keep the partially-fused path.
+Applicable to 2D problems whose finest level passes ``fits_vmem``
+(bench1's 100^2 2-field CH being the headline case, dolfin/bench1.py).
+Dirichlet boundary rows (bench6's electrostatic potential,
+dolfin/bench6.py:77-90) are handled elementwise via host-precomputed 0/1
+edge masks — see ``_bc_masks``.
 """
 
 from __future__ import annotations
@@ -87,11 +89,32 @@ class _LevelMats:
         return _yx(self.Iye, vf, self.IxeT), _yx(self.EyT, vf, self.Ex)
 
 
+def _bc_masks(grids, level_bcs, n_fields):
+    """Per-level 0/1 masks of Dirichlet vertex rows (host numpy).
+
+    Mosaic rejects in-kernel row slicing on the lane axis, so BC handling is
+    expressed elementwise: J.v rows become ``az*(1-m) + z*m`` (the tangent
+    of a constraint row ``u - g`` is the identity) and transfer outputs are
+    zeroed on BC rows (``*(1-m)``) — the in-kernel mirror of
+    solve/gmg.py's zero_bc_rows / post-kernel row replacement."""
+    masks = []
+    for g, bcs in zip(grids, level_bcs):
+        Yv, Xv = g.vshape
+        m = np.zeros((n_fields, Yv, Xv), np.float32)
+        for bc in bcs:
+            if bc.side in ("left", "right"):
+                m[bc.field, : g.ny + 1, bc.index] = 1.0
+            else:
+                m[bc.field, bc.index, : g.nx + 1] = 1.0
+        masks.append(m)
+    return masks
+
+
 def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_pre: int = 2, nu_post: int = 2,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
                       with_matvec: bool = False, matvec_grid=None,
-                      interpret: bool = False):
+                      level_bcs=None, interpret: bool = False):
     """Returns ``vcycle(r, w, w0, dt, pinvs) -> z`` (one kernel launch).
 
     ``r``/``w``/``w0`` are fine-level states ``(v, m)``; ``pinvs`` is a list
@@ -117,6 +140,8 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     residuals = [_scalar_assembly(g, terms, n_fields) for g in grids]
     residual_mv = (residuals[0] if matvec_grid is None
                    else _scalar_assembly(matvec_grid, terms, n_fields))
+    has_bcs = level_bcs is not None and any(level_bcs)
+    bc_masks = _bc_masks(grids, level_bcs, F) if has_bcs else None
     mat_arrays = []
     for l in range(L - 1):
         mat_arrays += _mat_list(
@@ -127,8 +152,9 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
 
     def kernel(*refs):
         # refs: r_v, r_m, w_v, w_m, w0_v, w0_m, [pv_l, pm_l]*L,
-        #       [19 transfer mats]*(L-1), dt, out_v, out_m,
-        #       (mv_v, mv_m when with_matvec), [az_v_l, az_m_l]*L scratch
+        #       [19 transfer mats]*(L-1), [bc mask_l]*L (when BCs), dt,
+        #       out_v, out_m, (mv_v, mv_m when with_matvec),
+        #       [az_v_l, az_m_l]*L scratch
         r_v, r_m, w_v, w_m, w0_v, w0_m = refs[:6]
         pinv = [(refs[6 + 2 * l], refs[7 + 2 * l]) for l in range(L)]
         base = 6 + 2 * L
@@ -136,6 +162,9 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                             for i in range(N_MATS)])
                 for l in range(L - 1)]
         base += N_MATS * (L - 1)
+        if has_bcs:
+            keep = [1.0 - refs[base + l][:] for l in range(L)]   # (1 - mask)
+            base += L
         dt_ref = refs[base]
         out_v, out_m = refs[base + 1], refs[base + 2]
         mv_out = (refs[base + 3], refs[base + 4]) if with_matvec else None
@@ -156,7 +185,11 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                 lambda u: residuals[l](u, w0_l[l], dt), (w_l[l],), (z,))
             _scatter_refs(planes, az[l][0], az[l][1], F, shapes[l][2],
                           shapes[l][3])
-            return az[l][0][:], az[l][1][:]
+            av, am = az[l][0][:], az[l][1][:]
+            if has_bcs:
+                # BC rows of J.v are the identity (tangent of ``u - g``)
+                av = av * keep[l] + z[0] * (1.0 - keep[l])
+            return av, am
 
         def bj(l, r):
             pv, pm = pinv[l]
@@ -199,8 +232,15 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                 return x
             x, r = sweeps(l, zeros(l), b, nu_pre)
             bc = mats[l].restrict(r)
+            if has_bcs:
+                # constraint rows carry u - g, not PDE residual: don't smear
+                # interior residual into them, and coarse corrections must
+                # vanish there (solve/gmg.py zero_bc_rows)
+                bc = (bc[0] * keep[l + 1], bc[1])
             xc = vcycle(l + 1, bc)
             pf = mats[l].prolong(xc)
+            if has_bcs:
+                pf = (pf[0] * keep[l], pf[1])
             x = (x[0] + pf[0], x[1] + pf[1])
             Av, Am = Az(l, x)
             r = (b[0] - Av, b[1] - Am)
@@ -216,7 +256,10 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                 lambda u: residual_mv(u, w0_l[0], dt), (w_l[0],), (z,))
             _scatter_refs(planes, az[0][0], az[0][1], F, shapes[0][2],
                           shapes[0][3])
-            mv_out[0][:] = az[0][0][:]
+            av = az[0][0][:]
+            if has_bcs:
+                av = av * keep[0] + z[0] * (1.0 - keep[0])
+            mv_out[0][:] = av
             mv_out[1][:] = az[0][1][:]
 
     (Yv, Xv), (Ym, Xm) = shapes[0][0], shapes[0][1]
@@ -224,8 +267,10 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     for (yv, xv), (ym, xm), _, _ in shapes:
         scratch += [pltpu.VMEM((F, yv, xv), dtype),
                     pltpu.VMEM((F, ym, xm), dtype)]
-    n_vmem_in = 6 + 2 * L + N_MATS * (L - 1)
+    n_vmem_in = 6 + 2 * L + N_MATS * (L - 1) + (L if has_bcs else 0)
     mat_consts = [jnp.asarray(a, dtype) for a in mat_arrays]
+    if has_bcs:
+        mat_consts += [jnp.asarray(m, dtype) for m in bc_masks]
 
     out_shape = [jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
                  jax.ShapeDtypeStruct((F, Ym, Xm), dtype)]

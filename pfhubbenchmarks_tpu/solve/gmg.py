@@ -268,14 +268,14 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
     # whole-V-cycle fusion: ONE pallas_call per preconditioner application
     # (ops/pallas_vcycle.py) — the round-2 answer to ROADMAP perf item 1.
-    # Gated on: Dirichlet-free (J.v row replacement isn't done in-kernel),
-    # no coordinate-dependent terms, >=2 levels, all-dyadic transfers (the
-    # in-kernel MXU transfer matrices encode the R=2 stencil), fine level
-    # within the Mosaic scoped-VMEM envelope.
+    # Gated on: no coordinate-dependent terms, >=2 levels, all-dyadic
+    # transfers (the in-kernel MXU transfer matrices encode the R=2
+    # stencil), fine level within the Mosaic scoped-VMEM envelope.
+    # Dirichlet rows are handled in-kernel via 0/1 edge masks
+    # (ops/pallas_vcycle._bc_masks).
     fused = None
     if (use_pallas and fuse_vcycle != "off" and not needs_coords
-            and not grid.periodic and len(grids) >= 2 and all_dyadic
-            and all(not b for b in level_bcs)):
+            and not grid.periodic and len(grids) >= 2 and all_dyadic):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
 
@@ -288,7 +288,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 grids, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
                 coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
                 with_matvec=True,
-                matvec_grid=(grid if precond_rule else None))
+                matvec_grid=(grid if precond_rule else None),
+                level_bcs=level_bcs)
 
     def build(w, w0, dt):
         if fused is not None:

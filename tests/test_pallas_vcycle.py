@@ -141,3 +141,67 @@ def test_fused_matvec_is_true_rule_under_precond_rule():
     diff = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
                for a, b in zip(az, az_cheap))
     assert diff > 1e-3
+
+
+def test_fused_vcycle_dirichlet_matches_xla_vcycle():
+    """bench6's Dirichlet-on-phi V-cycle: the in-kernel edge-mask BC
+    handling (ops/pallas_vcycle._bc_masks) must reproduce the XLA cycle's
+    zero_bc_rows / identity-row treatment exactly."""
+    import jax
+
+    from pfhubbenchmarks_tpu.benchmarks.bench6 import make as make_b6
+    from pfhubbenchmarks_tpu.fem.assembly import make_residual
+
+    problem = make_b6(nx=16, ny=16)
+    g = problem.grid
+    F = problem.n_fields
+    nu_pre, nu_post, coarse = 2, 2, 8
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.05, jnp.float32)
+
+    xla_build = make_gmg(g, problem.terms, F,
+                         dirichlet_for=problem.dirichlet_for,
+                         dtype=jnp.float32, nu_pre=nu_pre, nu_post=nu_post,
+                         coarse_sweeps=coarse, dense_coarse_max_dofs=0)
+
+    grids = build_hierarchy(g)
+    level_bcs = [problem.dirichlet_for(gl) for gl in grids]
+    assert any(level_bcs)
+    fused = make_fused_vcycle(grids, problem.terms, F, nu_pre=nu_pre,
+                              nu_post=nu_post, coarse_sweeps=coarse,
+                              dtype=jnp.float32, with_matvec=True,
+                              level_bcs=level_bcs, interpret=True)
+
+    rng = np.random.default_rng(3)
+    r_v = np.zeros((F,) + g.vshape, np.float32)
+    r_m = np.zeros((F,) + g.mshape, np.float32)
+    r_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    r = (jnp.asarray(r_v), jnp.asarray(r_m))
+
+    z_xla = xla_build(w, w, dt)(r)
+
+    pinvs = []
+    wl = w
+    for l, gl in enumerate(grids):
+        pinvs.append(make_block_jacobi(
+            gl, problem.terms, F, dirichlet=level_bcs[l],
+            dtype=jnp.float32)(wl, wl, dt).pinv_planes)
+        if l + 1 < len(grids):
+            wl = inject_state(grids[l + 1], grids[l])(wl)
+    z_fused, az = fused(r, w, w, dt, pinvs)
+
+    for a, b in zip(z_fused, z_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)
+
+    # exported Az: J.v with identity BC rows, matching the outer operator
+    res32 = make_residual(g, problem.terms, F,
+                          dirichlet=problem.dirichlet_for(g),
+                          dtype=jnp.float32)
+    _, az_ref = jax.jvp(lambda u: res32(u, w, dt), (w,), (z_fused,))
+    for a, b in zip(az, az_ref):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4 * scale)

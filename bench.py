@@ -56,15 +56,18 @@ def main() -> None:
     # latency-vs-FLOP balance round over round. With the fused driver the
     # whole run is one dispatch; host_s is result assembly + transfer only.
     agg = result.stats[0]
-    n_krylov = agg.krylov_iters
+    # wall-per-iteration divides by EVERY attempt's iterations (failed
+    # ones ran too); accepted-only counts stay for host-loop parity
+    n_krylov_all = agg.krylov_iters_all or agg.krylov_iters
     breakdown = {
         "steps": agg.step,
         "solve_attempts": agg.step + agg.retries,
         "newton_iters": agg.newton_iters,
-        "krylov_iters": n_krylov,
+        "krylov_iters": agg.krylov_iters,
+        "krylov_iters_all": n_krylov_all,
         "solve_s": round(agg.wall, 3),
         "host_s": round(wall - agg.wall, 3),
-        "ms_per_krylov_iter": round(1e3 * agg.wall / max(n_krylov, 1), 3),
+        "ms_per_krylov_iter": round(1e3 * agg.wall / max(n_krylov_all, 1), 3),
         "dispatches": 1,
     }
     out = {

@@ -45,6 +45,12 @@ class StepStats:
     wall: float
     dt_next: float = 0.0    # dt the adaptive rule chose for the next step
     row: list = dataclasses.field(default_factory=list)  # [t, *observables]
+    # totals INCLUDING failed attempts' work (fused aggregate only): the
+    # accepted-only counts match the host loop's per-step records, but any
+    # wall-per-iteration metric must divide by everything that actually ran
+    # (round-2 VERDICT weak item 8)
+    newton_iters_all: int = 0
+    krylov_iters_all: int = 0
 
 
 @dataclasses.dataclass
@@ -182,6 +188,9 @@ class Runner:
                 + jnp.where(conv, res.iters, 0),
                 krylov_iters=s["krylov_iters"]
                 + jnp.where(conv, res.krylov_iters, 0),
+                # every attempt, for wall-per-iteration attribution
+                newton_iters_all=s["newton_iters_all"] + res.iters,
+                krylov_iters_all=s["krylov_iters_all"] + res.krylov_iters,
             )
 
         @jax.jit
@@ -196,6 +205,8 @@ class Runner:
                 attempts=jnp.array(0, jnp.int32),
                 newton_iters=jnp.array(0, jnp.int32),
                 krylov_iters=jnp.array(0, jnp.int32),
+                newton_iters_all=jnp.array(0, jnp.int32),
+                krylov_iters_all=jnp.array(0, jnp.int32),
             )
             return jax.lax.while_loop(cond, body, init)
 
@@ -457,7 +468,9 @@ def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
                     krylov_iters=int(out["krylov_iters"]),
                     retries=int(out["attempts"]) - n,
                     res_norm=float("nan"),
-                    wall=_time.time() - wall_start)
+                    wall=_time.time() - wall_start,
+                    newton_iters_all=int(out["newton_iters_all"]),
+                    krylov_iters_all=int(out["krylov_iters_all"]))
     return RunResult(rows=rows, stats=[agg], state=out["w"],
                      wall_total=_time.time() - wall_start,
                      columns=problem.csv_columns)

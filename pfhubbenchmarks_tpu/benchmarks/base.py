@@ -177,6 +177,7 @@ class BenchmarkProblem:
                 use_tiled_sweeps=s.use_tiled_sweeps,
                 fuse_vcycle=s.fuse_vcycle,
                 precond_rule=s.precond_rule, min_cells=s.gmg_min_cells,
+                dense_coarse_max_dofs=s.gmg_dense_coarse_max_dofs,
             )
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,

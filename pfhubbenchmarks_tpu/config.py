@@ -139,6 +139,11 @@ class SolverConfig:
     gmg_omega: float = 0.8
     gmg_coarse_sweeps: int = 24
     gmg_max_levels: int = 10
+    # Exact dense coarse solve threshold (solve/gmg.make_dense_coarse):
+    # coarsest levels at or below this dof count get a materialized
+    # row-equilibrated f32 inverse instead of LMR sweeps (unfused path; the
+    # fused kernel keeps in-kernel sweeps).
+    gmg_dense_coarse_max_dofs: int = 1500
     # hierarchy floor: stop coarsening an axis below this many cells
     gmg_min_cells: int = 7
 

@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 from pfhubbenchmarks_tpu.ops.pallas_residual import _scalar_assembly, _scatter_refs
-from pfhubbenchmarks_tpu.ops.transfer_mats import TransferMats, build_transfer_mats
+from pfhubbenchmarks_tpu.ops.transfer_mats import (
+    GeneralTransferMats, TransferMats, build_general_mats,
+    build_transfer_mats)
 
 # Transfer matrices are kernel INPUTS (Mosaic rejects captured array
 # constants). Pre-transposed forms are shipped so the kernel never
@@ -50,6 +52,82 @@ def _mat_list(m: TransferMats) -> list[np.ndarray]:
     return [m.Pyv, m.Pxv.T, m.Ey, m.Ex.T, m.Uy, m.Ux.T, m.Vy, m.Vx.T,
             m.Pyv.T, m.Pxv, m.Uy.T, m.Ux, m.Ey.T, m.Ex, m.Vy.T, m.Vx,
             m.Iye, m.Ixe.T, m.oddodd]
+
+
+def _gen_mat_list(m: GeneralTransferMats) -> tuple[list[np.ndarray], tuple]:
+    """Flatten a GeneralTransferMats into kernel inputs: per separable pair
+    ship (Ay, Bx^T, Ay^T, Bx) so prolongation AND its transpose (Galerkin
+    restriction) run without in-kernel transposes; then the two injection
+    selector pairs."""
+    arrs = []
+    counts = (len(m.pv), len(m.pm), len(m.mv), len(m.mm))
+    for pairs in (m.pv, m.pm, m.mv, m.mm):
+        for Ay, Bx in pairs:
+            arrs += [Ay, Bx.T, Ay.T, Bx]
+    Iy, Ix = m.inj_v
+    Jy, Jx = m.inj_m
+    arrs += [Iy, Ix.T, Jy, Jx.T]
+    return arrs, counts
+
+
+def transfers_fusable(grids: list[CrossedTriGrid]) -> bool:
+    """True when every (fine, coarse) pair has an in-kernel transfer form:
+    dyadic, or an equal odd per-axis ratio (general SVD pairs)."""
+    for l in range(len(grids) - 1):
+        f, c = grids[l], grids[l + 1]
+        if f.ny == 2 * c.ny and f.nx == 2 * c.nx:
+            continue
+        ry, rx = f.ny // c.ny, f.nx // c.nx
+        if (ry == rx and ry * c.ny == f.ny and rx * c.nx == f.nx
+                and ry % 2 == 1):
+            continue
+        return False
+    return True
+
+
+class _GenLevelMats:
+    """Loaded general-ratio transfer operands for one level pair."""
+
+    def __init__(self, vals, counts):
+        n_pv, n_pm, n_mv, n_mm = counts
+        it = iter(vals)
+        take = lambda: (next(it), next(it), next(it), next(it))
+        self.pv = [take() for _ in range(n_pv)]
+        self.pm = [take() for _ in range(n_pm)]
+        self.mv = [take() for _ in range(n_mv)]
+        self.mm = [take() for _ in range(n_mm)]
+        self.Iy, self.IxT, self.Jy, self.JxT = (next(it), next(it),
+                                                next(it), next(it))
+
+    @staticmethod
+    def _fwd(pairs, x):
+        acc = None
+        for Ay, BxT, _, _ in pairs:
+            t = _yx(Ay, x, BxT)
+            acc = t if acc is None else acc + t
+        return acc
+
+    @staticmethod
+    def _adj(pairs, x):
+        acc = None
+        for _, _, AyT, Bx in pairs:
+            t = _yx(AyT, x, Bx)
+            acc = t if acc is None else acc + t
+        return acc
+
+    def prolong(self, wc):
+        vc, mc = wc
+        return (self._fwd(self.pv, vc) + self._fwd(self.pm, mc),
+                self._fwd(self.mv, vc) + self._fwd(self.mm, mc))
+
+    def restrict(self, wf):
+        vf, mf = wf
+        return (self._adj(self.pv, vf) + self._adj(self.mv, mf),
+                self._adj(self.pm, vf) + self._adj(self.mm, mf))
+
+    def inject(self, wf):
+        vf, mf = wf
+        return _yx(self.Iy, vf, self.IxT), _yx(self.Jy, mf, self.JxT)
 
 
 def _yx(Ay, x, AxT):
@@ -143,9 +221,18 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     has_bcs = level_bcs is not None and any(level_bcs)
     bc_masks = _bc_masks(grids, level_bcs, F) if has_bcs else None
     mat_arrays = []
+    mat_schema = []          # per pair: ("dyadic", N_MATS) | ("general", counts, n)
     for l in range(L - 1):
-        mat_arrays += _mat_list(
-            build_transfer_mats(grids[l + 1], grids[l], dtype=np.float32))
+        f, c = grids[l], grids[l + 1]
+        if f.ny == 2 * c.ny and f.nx == 2 * c.nx:
+            mat_arrays += _mat_list(
+                build_transfer_mats(c, f, dtype=np.float32))
+            mat_schema.append(("dyadic", N_MATS))
+        else:
+            arrs, counts = _gen_mat_list(build_general_mats(
+                c, f, dtype=np.float32))
+            mat_arrays += arrs
+            mat_schema.append(("general", counts, len(arrs)))
     shapes = [(g.vshape, g.mshape, g.ny, g.nx) for g in grids]
 
     n_out = 4 if with_matvec else 2
@@ -158,10 +245,17 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         r_v, r_m, w_v, w_m, w0_v, w0_m = refs[:6]
         pinv = [(refs[6 + 2 * l], refs[7 + 2 * l]) for l in range(L)]
         base = 6 + 2 * L
-        mats = [_LevelMats([refs[base + N_MATS * l + i][:]
-                            for i in range(N_MATS)])
-                for l in range(L - 1)]
-        base += N_MATS * (L - 1)
+        mats = []
+        for spec in mat_schema:
+            if spec[0] == "dyadic":
+                mats.append(_LevelMats([refs[base + i][:]
+                                        for i in range(N_MATS)]))
+                base += N_MATS
+            else:
+                _, counts, n = spec
+                mats.append(_GenLevelMats([refs[base + i][:]
+                                           for i in range(n)], counts))
+                base += n
         if has_bcs:
             keep = [1.0 - refs[base + l][:] for l in range(L)]   # (1 - mask)
             base += L
@@ -267,7 +361,7 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     for (yv, xv), (ym, xm), _, _ in shapes:
         scratch += [pltpu.VMEM((F, yv, xv), dtype),
                     pltpu.VMEM((F, ym, xm), dtype)]
-    n_vmem_in = 6 + 2 * L + N_MATS * (L - 1) + (L if has_bcs else 0)
+    n_vmem_in = 6 + 2 * L + len(mat_arrays) + (L if has_bcs else 0)
     mat_consts = [jnp.asarray(a, dtype) for a in mat_arrays]
     if has_bcs:
         mat_consts += [jnp.asarray(m, dtype) for m in bc_masks]

@@ -157,3 +157,176 @@ def inject_mm(m: TransferMats, wf, precision="highest"):
     vc = _yx(m.Iye, vf, m.Ixe.T, precision)
     mc = _yx(m.Ey.T, vf, m.Ex, precision)
     return vc, mc
+
+
+# ---------------------------------------------------------------------------
+# General equal-ratio transfers as sums of separable matmul pairs.
+#
+# The crossed-P1 prolongation at ratio R is NOT a single Y/X tensor product:
+# the per-offset-class weights w_k[py, px] (solve/transfer._p1_weights) depend
+# jointly on both cell-local coordinates (the four-triangle regions). But any
+# [R, R] weight plane factors exactly through its SVD,
+#     w_k = sum_r  u_r v_r^T            (rank <= R, typically 2-3),
+# and each rank-1 term IS a separable (Ay, Bx) matmul pair — the same MXU
+# form the fused V-cycle kernel uses for the dyadic transfers. The non-dyadic
+# pairs only ever appear at COARSE levels (bench3: 175->35->7, bench2:
+# 25->5), so the extra pairs cost nothing measurable.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneralTransferMats:
+    """Separable-decomposition transfer operators for one equal-ratio
+    (coarse, fine) level pair. Each entry of the pv/pm/mv/mm lists is an
+    (Ay, Bx) pair contributing ``Ay @ plane @ Bx.T``; restriction is the
+    exact transpose of the summed prolongation."""
+
+    pv: list   # vf <- vc pairs [(Ay [Yfv,Ycv], Bx [Xfv,Xcv]), ...]
+    pm: list   # vf <- mc pairs [(Ay [Yfv,Ycm], Bx [Xfv,Xcm]), ...]
+    mv: list   # mf <- vc pairs
+    mm: list   # mf <- mc pairs
+    inj_v: tuple   # (Iy [Ycv,Yfv], Ix [Xcv,Xfv]): vc = Iy vf Ix^T
+    inj_m: tuple   # (Jy [Ycm,Yfm], Jx [Xcm,Xfm]): mc = Jy mf Jx^T (R odd)
+
+
+def _svd_pairs(W: np.ndarray, tol: float = 1e-12):
+    """Exact rank decomposition W = sum_r u_r v_r^T (f64 SVD)."""
+    U, s, Vt = np.linalg.svd(np.asarray(W, np.float64))
+    pairs = []
+    for r in range(len(s)):
+        if s[r] <= tol * max(s[0], 1.0):
+            break
+        pairs.append((U[:, r] * s[r], Vt[r, :]))
+    return pairs
+
+
+def build_general_mats(coarse: CrossedTriGrid, fine: CrossedTriGrid,
+                       dtype=np.float32) -> GeneralTransferMats:
+    from pfhubbenchmarks_tpu.solve.transfer import _p1_weights, ratios
+
+    nyc, nxc = coarse.ny, coarse.nx
+    Rx, Ry = ratios(coarse, fine)
+    assert Rx == Ry, "fused transfers support equal per-axis ratios only"
+    R = Rx
+    Yfv, Xfv = fine.vshape
+    Yfm, Xfm = fine.mshape
+    Ycv, Xcv = coarse.vshape
+    Ycm, Xcm = coarse.mshape
+
+    wv = np.array([[_p1_weights(px, py, R) for px in range(R)]
+                   for py in range(R)])          # [R, R, 5]
+    wm = np.array([[_p1_weights(px + 0.5, py + 0.5, R) for px in range(R)]
+                   for py in range(R)])
+
+    def expand_y(u, n_logical_rows, out_rows, in_cols, shift, stride=None):
+        """Ay[R*i + py, i + shift] = u[py] over the logical block."""
+        A = np.zeros((out_rows, in_cols))
+        for i in range(n_logical_rows):
+            for p in range(R):
+                A[R * i + p, i + shift] = u[p]
+        return A
+
+    def corner_pairs(W, out_shape, ny_log, nx_log, sy, sx):
+        out = []
+        for u, v in _svd_pairs(W):
+            Ay = expand_y(u, ny_log, out_shape[0], Ycv, sy)
+            Bx = expand_y(v, nx_log, out_shape[1], Xcv, sx)
+            out.append((Ay, Bx))
+        return out
+
+    def center_pairs(W, out_shape, ny_log, nx_log):
+        out = []
+        for u, v in _svd_pairs(W):
+            Ay = expand_y(u, ny_log, out_shape[0], Ycm, 0)
+            Bx = expand_y(v, nx_log, out_shape[1], Xcm, 0)
+            out.append((Ay, Bx))
+        return out
+
+    # vf <- vc: four corner slots over the interior block + the 1D-interp
+    # boundary row/col terms
+    pv = []
+    for k, (sy, sx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        pv += corner_pairs(wv[:, :, k], (Yfv, Xfv), nyc, nxc, sy, sx)
+
+    def interp1d(nf_rows, nc_cols, n_log):
+        """Standard 1D P1 interpolation: Q[R*j + p, j] = 1 - p/R,
+        Q[R*j + p, j+1] = p/R, Q[R*n, n] = 1."""
+        Q = np.zeros((nf_rows, nc_cols))
+        for j in range(n_log):
+            for p in range(R):
+                Q[R * j + p, j] = 1.0 - p / R
+                if p:
+                    Q[R * j + p, j + 1] = p / R
+        Q[R * n_log, n_log] = 1.0
+        return Q
+
+    Qx = interp1d(Xfv, Xcv, nxc)
+    Qy = interp1d(Yfv, Ycv, nyc)
+    lastrow_y = np.zeros((Yfv, Ycv)); lastrow_y[R * nyc, nyc] = 1.0
+    lastcol_x = np.zeros((Xfv, Xcv)); lastcol_x[R * nxc, nxc] = 1.0
+    Qy_nolast = Qy.copy(); Qy_nolast[R * nyc, :] = 0.0
+    pv.append((lastrow_y, Qx))
+    pv.append((Qy_nolast, lastcol_x))
+
+    pm = center_pairs(wv[:, :, 4], (Yfv, Xfv), nyc, nxc)     # vf <- mc
+    mv = []
+    for k, (sy, sx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        mv += corner_pairs(wm[:, :, k], (Yfm, Xfm), nyc, nxc, sy, sx)
+    mm = center_pairs(wm[:, :, 4], (Yfm, Xfm), nyc, nxc)     # mf <- mc
+
+    # state injection: vc = vf[::R, ::R]; mc = mf[o::R, o::R] (R odd) or the
+    # dyadic even-vertex rule (R == 2, handled by the dyadic path)
+    Iy = np.zeros((Ycv, Yfv)); Ix = np.zeros((Xcv, Xfv))
+    for i in range(nyc + 1):
+        Iy[i, R * i] = 1.0
+    for j in range(nxc + 1):
+        Ix[j, R * j] = 1.0
+    assert R % 2 == 1, "general injection path expects odd R (R=2 is dyadic)"
+    o = (R - 1) // 2
+    Jy = np.zeros((Ycm, Yfm)); Jx = np.zeros((Xcm, Xfm))
+    for i in range(nyc):
+        Jy[i, R * i + o] = 1.0
+    for j in range(nxc):
+        Jx[j, R * j + o] = 1.0
+
+    cast = lambda lst: [(np.asarray(a, dtype), np.asarray(b, dtype))
+                        for a, b in lst]
+    return GeneralTransferMats(
+        pv=cast(pv), pm=cast(pm), mv=cast(mv), mm=cast(mm),
+        inj_v=(np.asarray(Iy, dtype), np.asarray(Ix, dtype)),
+        inj_m=(np.asarray(Jy, dtype), np.asarray(Jx, dtype)))
+
+
+def _sum_yx(pairs, x, precision="highest"):
+    import jax.numpy as jnp
+
+    acc = None
+    for Ay, Bx in pairs:
+        t = _yx(Ay, x, np.asarray(Bx).T, precision)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def prolong_gen_mm(m: GeneralTransferMats, wc, precision="highest"):
+    vc, mc = wc
+    vf = _sum_yx(m.pv, vc, precision) + _sum_yx(m.pm, mc, precision)
+    mf = _sum_yx(m.mv, vc, precision) + _sum_yx(m.mm, mc, precision)
+    return vf, mf
+
+
+def restrict_gen_mm(m: GeneralTransferMats, rf, precision="highest"):
+    """Exact transpose of prolong_gen_mm."""
+    vf, mf = rf
+    vc = (_sum_yx([(a.T, b.T) for a, b in m.pv], vf, precision)
+          + _sum_yx([(a.T, b.T) for a, b in m.mv], mf, precision))
+    mc = (_sum_yx([(a.T, b.T) for a, b in m.pm], vf, precision)
+          + _sum_yx([(a.T, b.T) for a, b in m.mm], mf, precision))
+    return vc, mc
+
+
+def inject_gen_mm(m: GeneralTransferMats, wf, precision="highest"):
+    vf, mf = wf
+    Iy, Ix = m.inj_v
+    Jy, Jx = m.inj_m
+    return (_yx(Iy, vf, np.asarray(Ix).T, precision),
+            _yx(Jy, mf, np.asarray(Jx).T, precision))

@@ -263,19 +263,21 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     if coarse_dof_count(grids[-1], n_fields) <= dense_coarse_max_dofs:
         dense_coarse = make_dense_coarse(grids[-1], residuals[-1], n_fields,
                                          precond_dtype)
-    all_dyadic = all(grids[l].ny == 2 * grids[l + 1].ny
-                     for l in range(len(grids) - 1))
+    from pfhubbenchmarks_tpu.ops.pallas_vcycle import transfers_fusable
 
     # whole-V-cycle fusion: ONE pallas_call per preconditioner application
     # (ops/pallas_vcycle.py) — the round-2 answer to ROADMAP perf item 1.
-    # Gated on: no coordinate-dependent terms, >=2 levels, all-dyadic
-    # transfers (the in-kernel MXU transfer matrices encode the R=2
-    # stencil), fine level within the Mosaic scoped-VMEM envelope.
+    # Gated on: no coordinate-dependent terms, >=2 levels, every level
+    # pair dyadic or equal-odd-ratio (in-kernel MXU transfer matrices:
+    # dyadic stencils or SVD-separated general pairs — bench3's
+    # 350->175->35->7 qualifies), fine level within the Mosaic scoped-VMEM
+    # envelope.
     # Dirichlet rows are handled in-kernel via 0/1 edge masks
     # (ops/pallas_vcycle._bc_masks).
     fused = None
     if (use_pallas and fuse_vcycle != "off" and not needs_coords
-            and not grid.periodic and len(grids) >= 2 and all_dyadic):
+            and not grid.periodic and len(grids) >= 2
+            and transfers_fusable(grids)):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
 

@@ -205,3 +205,51 @@ def test_fused_vcycle_dirichlet_matches_xla_vcycle():
         scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4 * scale)
+
+
+def test_fused_vcycle_general_ratio_matches_xla_vcycle():
+    """Non-dyadic hierarchy (50 -> 25 -> 5: dyadic pair + R=5 general pair,
+    the bench3/bench2 deep-hierarchy shape): the SVD-separated in-kernel
+    transfers must reproduce the XLA cycle."""
+    problem = make(nx=50, ny=50)
+    g = problem.grid
+    F = problem.n_fields
+    nu_pre, nu_post, coarse = 2, 2, 8
+
+    xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         nu_pre=nu_pre, nu_post=nu_post, coarse_sweeps=coarse,
+                         dense_coarse_max_dofs=0, min_cells=5)
+
+    grids = build_hierarchy(g, min_cells=5)
+    assert [gl.ny for gl in grids] == [50, 25, 5]
+    fused = make_fused_vcycle(grids, problem.terms, F, nu_pre=nu_pre,
+                              nu_post=nu_post, coarse_sweeps=coarse,
+                              dtype=jnp.float32, interpret=True)
+
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+
+    rng = np.random.default_rng(7)
+    r_v = np.zeros((F,) + g.vshape, np.float32)
+    r_m = np.zeros((F,) + g.mshape, np.float32)
+    r_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    r = (jnp.asarray(r_v), jnp.asarray(r_m))
+
+    z_xla = xla_build(w, w, dt)(r)
+
+    from pfhubbenchmarks_tpu.solve.transfer import inject_any
+
+    pinvs = []
+    wl = w
+    for l, gl in enumerate(grids):
+        pinvs.append(make_block_jacobi(gl, problem.terms, F,
+                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
+        if l + 1 < len(grids):
+            wl = inject_any(grids[l + 1], grids[l])(wl)
+    z_fused = fused(r, w, w, dt, pinvs)
+
+    for a, b in zip(z_fused, z_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)

@@ -293,6 +293,31 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 matvec_grid=(grid if precond_rule else None),
                 level_bcs=level_bcs)
 
+    # sub-cycle fusion: when the FINE level exceeds the whole-kernel VMEM
+    # envelope (bench3's 350²), fuse the largest TAIL of the hierarchy that
+    # fits ([175², 35², 7²]) into one kernel and use it as level
+    # ``sub_fused_at``'s solver inside the partially-fused cycle — the
+    # level-1 smoothing phases, both 175↔35↔7 transfers, and the coarse
+    # sweeps collapse from ~15-20 device ops to ONE launch per V-cycle.
+    sub_fused = None
+    sub_fused_at = None
+    if (fused is None and use_pallas and fuse_vcycle != "off"
+            and not needs_coords and not grid.periodic):
+        from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
+        from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
+
+        for lf in range(1, len(grids) - 1):
+            tail = grids[lf:]
+            if (len(tail) >= 2 and transfers_fusable(tail)
+                    and fits_vmem(tail[0], n_fields, nq=tail[0].tab().nq,
+                                  kernel="vcycle")):
+                sub_fused = make_fused_vcycle(
+                    tail, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
+                    coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
+                    level_bcs=level_bcs[lf:])
+                sub_fused_at = lf
+                break
+
     def build(w, w0, dt):
         if fused is not None:
             wf = _cast(w, precond_dtype)
@@ -331,10 +356,13 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
         ops = []
         sweep_fns = []
+        level_states = []       # (wl, w0l) per level, for sub_fused
+        level_pinvs = []
         wl = _cast(w, precond_dtype)
         w0l = _cast(w0, precond_dtype)
         dtl = jnp.asarray(dt, precond_dtype)
         for l in range(len(grids)):
+            level_states.append((wl, w0l))
             if (isinstance(pallas_jvs[l], tuple)
                     and pallas_jvs[l][0] == "tiled"):
                 _, prep_j, jv_j = pallas_jvs[l]
@@ -361,6 +389,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 _, jvp = jax.linearize(lambda u: res_l(u, w0l, dtl), wl)
             bj = bj_builders[l](wl, w0l, dtl)
             ops.append((jvp, bj))
+            level_pinvs.append(bj.pinv_planes)
             if pallas_sweeps[l] is None:
                 sweep_fns.append(None)
             elif pallas_sweeps[l][0] == "loop":
@@ -401,8 +430,11 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 wl = injs[l](wl)
                 w0l = injs[l](w0l)
 
+        # the sub-fused tail solves the coarsest level by in-kernel sweeps;
+        # don't build the (unreachable) dense inverse in that case
         Jinv_coarse = (dense_coarse[0](wl, w0l, dtl)
-                       if dense_coarse is not None else None)
+                       if dense_coarse is not None and sub_fused_at is None
+                       else None)
 
         def smooth(l, x, r, sweeps):
             """LMR sweeps, scanned so the J.v subgraph appears once.
@@ -441,6 +473,12 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
         def vcycle(l, b):
             jvp, _ = ops[l]
+            if l == sub_fused_at:
+                # the whole tail [l..coarsest] — smoothing phases, both
+                # transfer directions, coarse sweeps — is ONE kernel
+                wl_t, w0l_t = level_states[l]
+                return sub_fused(b, wl_t, w0l_t, dtl,
+                                 level_pinvs[sub_fused_at:])
             if l == len(grids) - 1:
                 if Jinv_coarse is not None:
                     return dense_coarse[1](Jinv_coarse, b)

@@ -393,3 +393,234 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         return out
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Split-V-cycle fusion: when the FINE level exceeds the whole-kernel VMEM
+# envelope but a hierarchy TAIL fits (bench3: 350² fine, [175², 35², 7²]
+# tail), the V-cycle still runs as THREE kernel launches instead of two
+# sweep kernels + ~40 strided-slice XLA transfer ops:
+#
+#   descend:  nu_pre LMR sweeps at the fine level + Galerkin restriction
+#   tail:     make_fused_vcycle over grids[1:]  (existing sub-cycle kernel)
+#   ascend:   prolongation + correction + fine residual update + nu_post
+#             sweeps (+ optionally the TRUE-rule outer matvec A z)
+#
+# Measured motivation (r3 bench3 attribution, .scratch/prof_r4j.log): the
+# XLA strided transfers alone cost 1.50 + 1.91 ms of the 4.23 ms V-cycle —
+# pure op-launch latency — while each fused kernel is 0.4-0.8 ms.
+# ---------------------------------------------------------------------------
+
+
+def _build_pair_mats(fine: CrossedTriGrid, coarse: CrossedTriGrid):
+    """Kernel-input transfer matrices for ONE (fine, coarse) pair, plus a
+    loader that reconstructs the matching _LevelMats/_GenLevelMats view."""
+    if fine.ny == 2 * coarse.ny and fine.nx == 2 * coarse.nx:
+        arrs = _mat_list(build_transfer_mats(coarse, fine, dtype=np.float32))
+        load = lambda refs: _LevelMats([r[:] for r in refs])
+        return arrs, load
+    arrs, counts = _gen_mat_list(build_general_mats(coarse, fine,
+                                                    dtype=np.float32))
+    load = lambda refs: _GenLevelMats([r[:] for r in refs], counts)
+    return arrs, load
+
+
+def _bj_apply(pinv, r, F):
+    pv, pm = pinv
+    zv, zm = [], []
+    for i in range(F):
+        av = am = None
+        for j in range(F):
+            tv = pv[i, j] * r[0][j]
+            tm = pm[i, j] * r[1][j]
+            av = tv if av is None else av + tv
+            am = tm if am is None else am + tm
+        zv.append(av)
+        zm.append(am)
+    return jnp.stack(zv), jnp.stack(zm)
+
+
+def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
+                       n_fields: int, *, nu: int = 2, dtype=jnp.float32,
+                       bcs_fine=(), bcs_coarse=(), interpret: bool = False):
+    """Returns ``descend(b, w, w0, dt, pinv) -> (x, bc)``: ``nu`` LMR
+    pre-smoothing sweeps at the fine level from x=0, then Galerkin
+    restriction of the smoothed residual — one kernel launch."""
+    F = n_fields
+    residual = _scalar_assembly(fine, terms, F)
+    mat_arrays, load_mats = _build_pair_mats(fine, coarse)
+    has_bcs = bool(bcs_fine) or bool(bcs_coarse)
+    masks = (_bc_masks([fine, coarse], [bcs_fine, bcs_coarse], F)
+             if has_bcs else None)
+    ny, nx = fine.ny, fine.nx
+    n_mats = len(mat_arrays)
+
+    def kernel(*refs):
+        b_v, b_m, w_v, w_m, w0_v, w0_m, pv, pm = refs[:8]
+        mats = load_mats(refs[8:8 + n_mats])
+        base = 8 + n_mats
+        if has_bcs:
+            keep_f = 1.0 - refs[base][:]
+            keep_c = 1.0 - refs[base + 1][:]
+            base += 2
+        dt = refs[base][0, 0]
+        ox_v, ox_m, bc_v, bc_m = refs[base + 1:base + 5]
+        az_v, az_m = refs[base + 5], refs[base + 6]
+        w = (w_v[:], w_m[:])
+        w0 = (w0_v[:], w0_m[:])
+
+        def body(_, carry):
+            x, r = carry
+            z = _bj_apply((pv, pm), r, F)
+            _, planes = jax.jvp(lambda u: residual(u, w0, dt), (w,), (z,))
+            _scatter_refs(planes, az_v, az_m, F, ny, nx)
+            Av, Am = az_v[:], az_m[:]
+            if has_bcs:
+                Av = Av * keep_f + z[0] * (1.0 - keep_f)
+            num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
+            den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
+            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+            return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
+                    (r[0] - alpha * Av, r[1] - alpha * Am))
+
+        x0 = (jnp.zeros_like(b_v[:]), jnp.zeros_like(b_m[:]))
+        x, r = lax.fori_loop(0, nu, body, (x0, (b_v[:], b_m[:])))
+        bc = mats.restrict(r)
+        if has_bcs:
+            bc = (bc[0] * keep_c, bc[1])
+        ox_v[:] = x[0]
+        ox_m[:] = x[1]
+        bc_v[:] = bc[0]
+        bc_m[:] = bc[1]
+
+    (Yv, Xv), (Ym, Xm) = fine.vshape, fine.mshape
+    (Ycv, Xcv), (Ycm, Xcm) = coarse.vshape, coarse.mshape
+    mat_consts = [jnp.asarray(a, dtype) for a in mat_arrays]
+    if has_bcs:
+        mat_consts += [jnp.asarray(m, dtype) for m in masks]
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                   jax.ShapeDtypeStruct((F, Ym, Xm), dtype),
+                   jax.ShapeDtypeStruct((F, Ycv, Xcv), dtype),
+                   jax.ShapeDtypeStruct((F, Ycm, Xcm), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (8 + len(mat_consts))
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
+                        pltpu.VMEM((F, Ym, Xm), dtype)],
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20)),
+        interpret=interpret,
+    )
+
+    def descend(b, w, w0, dt, pinv):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        ox_v, ox_m, bc_v, bc_m = call(b[0], b[1], w[0], w[1], w0[0], w0[1],
+                                      pinv[0], pinv[1], *mat_consts, dt_arr)
+        return (ox_v, ox_m), (bc_v, bc_m)
+
+    return descend
+
+
+def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
+                      n_fields: int, *, nu: int = 2, dtype=jnp.float32,
+                      with_matvec: bool = False, matvec_grid=None,
+                      bcs_fine=(), bcs_coarse=(), interpret: bool = False):
+    """Returns ``ascend(b, x, xc, w, w0, dt, pinv) -> z [, az]``: prolong the
+    coarse correction ``xc``, add it to the pre-smoothed ``x``, recompute the
+    fine residual, run ``nu`` post-smoothing sweeps — one kernel launch.
+    ``with_matvec`` additionally emits the TRUE-rule fine J.v of the result
+    (the FGMRES (z, Az) pair, see make_fused_vcycle's matvec_grid note)."""
+    F = n_fields
+    residual = _scalar_assembly(fine, terms, F)
+    residual_mv = (residual if matvec_grid is None
+                   else _scalar_assembly(matvec_grid, terms, F))
+    mat_arrays, load_mats = _build_pair_mats(fine, coarse)
+    has_bcs = bool(bcs_fine) or bool(bcs_coarse)
+    masks = (_bc_masks([fine], [bcs_fine], F) if has_bcs else None)
+    ny, nx = fine.ny, fine.nx
+    n_mats = len(mat_arrays)
+
+    def kernel(*refs):
+        b_v, b_m, x_v, x_m, xc_v, xc_m, w_v, w_m, w0_v, w0_m, pv, pm = refs[:12]
+        mats = load_mats(refs[12:12 + n_mats])
+        base = 12 + n_mats
+        if has_bcs:
+            keep_f = 1.0 - refs[base][:]
+            base += 1
+        dt = refs[base][0, 0]
+        oz_v, oz_m = refs[base + 1], refs[base + 2]
+        mv_out = ((refs[base + 3], refs[base + 4]) if with_matvec else None)
+        off = base + 3 + (2 if with_matvec else 0)
+        az_v, az_m = refs[off], refs[off + 1]
+        w = (w_v[:], w_m[:])
+        w0 = (w0_v[:], w0_m[:])
+
+        def Az(z, res):
+            _, planes = jax.jvp(lambda u: res(u, w0, dt), (w,), (z,))
+            _scatter_refs(planes, az_v, az_m, F, ny, nx)
+            Av, Am = az_v[:], az_m[:]
+            if has_bcs:
+                Av = Av * keep_f + z[0] * (1.0 - keep_f)
+            return Av, Am
+
+        pf = mats.prolong((xc_v[:], xc_m[:]))
+        if has_bcs:
+            pf = (pf[0] * keep_f, pf[1])
+        x = (x_v[:] + pf[0], x_m[:] + pf[1])
+        Av, Am = Az(x, residual)
+        r = (b_v[:] - Av, b_m[:] - Am)
+
+        def body(_, carry):
+            x, r = carry
+            z = _bj_apply((pv, pm), r, F)
+            Av, Am = Az(z, residual)
+            num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
+            den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
+            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+            return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
+                    (r[0] - alpha * Av, r[1] - alpha * Am))
+
+        x, r = lax.fori_loop(0, nu, body, (x, r))
+        oz_v[:] = x[0]
+        oz_m[:] = x[1]
+        if with_matvec:
+            Av, Am = Az(x, residual_mv)
+            mv_out[0][:] = Av
+            mv_out[1][:] = Am
+
+    (Yv, Xv), (Ym, Xm) = fine.vshape, fine.mshape
+    mat_consts = [jnp.asarray(a, dtype) for a in mat_arrays]
+    if has_bcs:
+        mat_consts += [jnp.asarray(m, dtype) for m in masks]
+    n_out = 4 if with_matvec else 2
+    out_shape = tuple([jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                       jax.ShapeDtypeStruct((F, Ym, Xm), dtype)]
+                      * (2 if with_matvec else 1))
+    call = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (12 + len(mat_consts))
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(n_out)),
+        scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
+                        pltpu.VMEM((F, Ym, Xm), dtype)],
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20)),
+        interpret=interpret,
+    )
+
+    def ascend(b, x, xc, w, w0, dt, pinv):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        out = call(b[0], b[1], x[0], x[1], xc[0], xc[1], w[0], w[1],
+                   w0[0], w0[1], pinv[0], pinv[1], *mat_consts, dt_arr)
+        if with_matvec:
+            return (out[0], out[1]), (out[2], out[3])
+        return (out[0], out[1])
+
+    return ascend

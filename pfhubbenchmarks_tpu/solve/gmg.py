@@ -318,6 +318,38 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 sub_fused_at = lf
                 break
 
+    # split-V-cycle fusion (ops/pallas_vcycle.py): when the tail kernel
+    # starts directly below the fine level, the fine level's smoothing
+    # phases + BOTH transfer directions fuse into two more kernels
+    # (descend / ascend) — the whole V-cycle is then THREE launches. The
+    # XLA strided transfers they replace measured 3.4 ms of bench3's
+    # 4.2 ms V-cycle (r3 attribution, .scratch/prof_r4j.log).
+    split_descend = split_ascend = None
+    split_mv_jv = None
+    if (sub_fused is not None and sub_fused_at == 1
+            and transfers_fusable(grids[:2])
+            and fits_vmem(grids[0], n_fields, nq=grids[0].tab().nq,
+                          kernel="sweep_loop")):
+        from pfhubbenchmarks_tpu.ops.pallas_vcycle import (
+            make_fused_ascend, make_fused_descend)
+
+        split_descend = make_fused_descend(
+            grids[0], grids[1], terms, n_fields, nu=nu_pre,
+            dtype=precond_dtype, bcs_fine=level_bcs[0],
+            bcs_coarse=level_bcs[1])
+        split_ascend = make_fused_ascend(
+            grids[0], grids[1], terms, n_fields, nu=nu_post,
+            dtype=precond_dtype, bcs_fine=level_bcs[0],
+            bcs_coarse=level_bcs[1])
+        # fused (z, Az) pair for FGMRES: A z must be the TRUE-rule fine
+        # operator (see make_fused_vcycle's matvec_grid note). The 4th
+        # launch replaces the outer matvec entirely.
+        if not level_bcs[0] and fits_vmem(grid, n_fields, nq=grid.tab().nq):
+            from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
+
+            split_mv_jv = make_pallas_jvp(grid, terms, n_fields,
+                                          dtype=precond_dtype)
+
     def build(w, w0, dt):
         if fused is not None:
             wf = _cast(w, precond_dtype)
@@ -473,6 +505,14 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
         def vcycle(l, b):
             jvp, _ = ops[l]
+            if l == 0 and split_descend is not None:
+                # three-kernel split V-cycle: descend + fused tail + ascend
+                wl0, w0l0 = level_states[0]
+                x, bc = split_descend(b, wl0, w0l0, dtl, level_pinvs[0])
+                wl_t, w0l_t = level_states[1]
+                xc = sub_fused(bc, wl_t, w0l_t, dtl, level_pinvs[1:])
+                return split_ascend(b, x, xc, wl0, w0l0, dtl,
+                                    level_pinvs[0])
             if l == sub_fused_at:
                 # the whole tail [l..coarsest] — smoothing phases, both
                 # transfer directions, coarse sweeps — is ONE kernel
@@ -495,6 +535,19 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             z = vcycle(0, _cast(r, precond_dtype))
             return _cast(z, dtype)
 
+        if split_mv_jv is not None and split_descend is not None:
+            wf0, w0f0 = level_states[0]
+
+            def minv_matvec(r):
+                """(M^-1 r, A M^-1 r) in FOUR kernel launches (descend,
+                tail, ascend, true-rule J.v) — replaces the outer matvec's
+                separate tiled launch. Same fine-level linearization
+                (w, w0, dt) as the outer J.v."""
+                z = vcycle(0, _cast(r, precond_dtype))
+                az = split_mv_jv(wf0, w0f0, dtl, z)
+                return _cast(z, dtype), _cast(az, dtype)
+
+            Minv.minv_matvec = minv_matvec
         return Minv
 
     return build

@@ -178,6 +178,7 @@ class BenchmarkProblem:
                 fuse_vcycle=s.fuse_vcycle,
                 precond_rule=s.precond_rule, min_cells=s.gmg_min_cells,
                 dense_coarse_max_dofs=s.gmg_dense_coarse_max_dofs,
+                cycle=s.gmg_cycle,
             )
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,

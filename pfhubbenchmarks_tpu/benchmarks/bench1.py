@@ -106,7 +106,8 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         # unchanged); dunavant1 collapses the CH mass term (krylov x4.9).
         **{"solver": SolverConfig(line_search="basic", report_atol=2.6e-5,
                                   gmg_nu_pre=3, gmg_nu_post=3,
-                                  precond_rule="dunavant2"),
+                                  precond_rule="dunavant2",
+                                  krylov_atol_frac=0.1),
            **overrides},
     )
 

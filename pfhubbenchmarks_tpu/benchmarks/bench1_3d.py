@@ -92,7 +92,9 @@ class Benchmark3DProblem:
                               nu_pre=s.gmg_nu_pre,
                               nu_post=s.gmg_nu_post,
                               coarse_sweeps=s.gmg_coarse_sweeps,
-                              max_levels=s.gmg_max_levels)
+                              max_levels=s.gmg_max_levels,
+                              precond_rule=s.precond_rule,
+                              cycle=s.gmg_cycle)
         return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
                                    dirichlet=self.dirichlet, dtype=kry_dtype,
                                    needs_coords=self.needs_coords)
@@ -148,7 +150,16 @@ def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
         },
         csv_columns=("time", "total_free_energy", "total_solute"),
         time=TimeConfig(dt0=1e-1, dt_min=1e-2, end_time=50.0, grow_threshold=5),
-        solver=SolverConfig(line_search="basic", precond="gmg"),
+        # precond_rule keast2: the preconditioner hierarchy rediscretizes at
+        # 4 pts/tet instead of ffc3's 8 — the V-cycle J.v einsums are the 3D
+        # per-iteration bottleneck (r3 attribution: 21.7 ms/apply at nq=8).
+        # fast_residual: the f64 Newton residual at 50³ is EMULATION-bound
+        # (measured 242 ms vs 3.2 ms f32); the two-stage path evaluates f32
+        # while ||F|| is far above the measured cancellation floor. 3D has
+        # no reference golden trajectory (dolfin/b13d.py writes none), so
+        # the 2D count-parity objection doesn't apply.
+        solver=SolverConfig(line_search="basic", precond="gmg",
+                            precond_rule="keast2", fast_residual=True),
         **overrides,
     )
 

@@ -143,7 +143,10 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=100.0, grow_threshold=5),
         # precond_rule dunavant1 (1-pt rule): preconditioner-only; measured
         # newton counts identical, krylov 589 -> 593 over 5 steps (r3 lab)
-        solver=SolverConfig(line_search="cp", precond_rule="dunavant1"),
+        solver=SolverConfig(line_search="cp", precond_rule="dunavant1",
+                            # 0.1 probed on TPU: identical 126-step / 583-
+                            # Newton trajectory, krylov 8729 -> 8042
+                            krylov_atol_frac=0.1),
         **overrides,
     )
 

@@ -149,8 +149,15 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
         # lab); dunavant1 degrades the reaction-dominated AC block (x4.4)
         # nu 3/3: measured optimum with the exact dense 7^2 coarse solve
         # (r3 TPU scan: 24.4 s @ nu2/2 -> 20.8 s @ nu3/3, krylov 2400->2049)
+        # fuse_vcycle split_levels: per-level descend/ascend kernels with
+        # the exact dense 7^2 coarse OUTSIDE the kernels — measured 11.2 s
+        # / 1866 accepted Krylov vs 13.2 s / 3141 for the monolithic-tail
+        # split (in-kernel 24-sweep coarse) and 20.3 s for the pre-split
+        # strided-transfer cycle (r3, .scratch/prof_r5{a,c}.log)
         solver=SolverConfig(line_search="basic", precond_rule="dunavant2",
-                            gmg_nu_pre=3, gmg_nu_post=3),
+                            gmg_nu_pre=3, gmg_nu_post=3,
+                            fuse_vcycle="split_levels",
+                            krylov_atol_frac=0.1),
         abort_condition=lambda row: row["total_free_energy"] < 0.0,
         abort_device=lambda row: row[1] < 0.0,
         **overrides,

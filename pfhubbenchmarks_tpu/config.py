@@ -71,6 +71,19 @@ class SolverConfig:
     krylov: str = "fgmres"          # 'gmres' | 'fgmres' | 'bicgstab'
     krylov_rtol: float = 1e-5       # PETSc KSP default rtol
     krylov_atol: float = 1e-50
+    # Inexact-Newton truncation floor: the linear solve additionally stops at
+    # ``krylov_atol_frac * newton_atol`` ABSOLUTE residual — solving the last
+    # Newton iterations' systems to rtol*||F_k|| pushes the linear residual
+    # decades below the nonlinear tolerance for no benefit (||F_{k+1}|| is
+    # bounded by the linear residual, which only needs to sit under
+    # newton_atol). Measured (r3 CPU lab, bench1 full adaptive run, frac
+    # 0.1): Krylov 11403 -> 9969 (-12.6%) with IDENTICAL time grid, Newton
+    # counts, matched-row prefix (21), and curve error (2.68e-3 interp).
+    # Default 0.01: bench6's small-magnitude fields lose golden-row TFE
+    # accuracy at 0.1 (1.14e-6 rel vs the 1e-6 gate; 1.7e-7 at 0.01 —
+    # .scratch/b6_floor_probe.py). bench1/2/3 opt into 0.1 (probed: same
+    # trajectories). 0 disables.
+    krylov_atol_frac: float = 0.01
     # Sized so that marginal solves (the ones that decide whether a dt step
     # is accepted) get the same chance as the reference's 1000-iteration SOR
     # budget (dolfin/bench1.py:110) — a premature linear "failure" halves dt
@@ -136,6 +149,10 @@ class SolverConfig:
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2
     gmg_nu_post: int = 2
+    # 'v' | 'w': W-cycle takes two coarse corrections per level (residual
+    # recomputed between) — stronger on stiff large-dt systems for ~the
+    # cost of extra coarse-level visits (cheap in the fused kernels).
+    gmg_cycle: str = "v"
     gmg_omega: float = 0.8
     gmg_coarse_sweeps: int = 24
     gmg_max_levels: int = 10

@@ -181,11 +181,28 @@ def tet_monomial_integral(a: int, b: int, c: int) -> float:
             / math.factorial(a + b + c + 3))
 
 
+def keast_tet(degree: int) -> TetRule:
+    """Keast symmetric tet rules: degree 1 (1 pt, centroid) and degree 2
+    (4 pts) — far cheaper than the FFC collapsed rules (8/27 pts) for
+    preconditioner-grade rediscretization (SolverConfig.precond_rule)."""
+    if degree <= 1:
+        return TetRule(np.array([[0.25, 0.25, 0.25]]),
+                       np.array([1.0 / 6.0]), name="keast_1")
+    if degree == 2:
+        a, b = 0.5854101966249685, 0.1381966011250105
+        pts = np.array([[a, b, b], [b, a, b], [b, b, a], [b, b, b]])
+        w = np.full(4, 1.0 / 24.0)
+        return TetRule(pts, w, name="keast_2")
+    raise ValueError(f"keast rule degree {degree} not tabulated")
+
+
 def get_tet_rule(name: str) -> TetRule:
     if name.startswith("ffc"):
         return ffc_tet(int(name[3:]))
     if name.startswith("fiat"):
         return fiat_collapsed_tet(int(name[4:]))
+    if name.startswith("keast"):
+        return keast_tet(int(name[5:]))
     raise ValueError(f"unknown tet quadrature rule {name!r}")
 
 

@@ -192,7 +192,8 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_pre: int = 2, nu_post: int = 2,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
                       with_matvec: bool = False, matvec_grid=None,
-                      level_bcs=None, interpret: bool = False):
+                      level_bcs=None, cycle: str = "v",
+                      interpret: bool = False):
     """Returns ``vcycle(r, w, w0, dt, pinvs) -> z`` (one kernel launch).
 
     ``r``/``w``/``w0`` are fine-level states ``(v, m)``; ``pinvs`` is a list
@@ -320,24 +321,32 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
             (Yv, Xv), (Ym, Xm) = shapes[l][0], shapes[l][1]
             return (jnp.zeros((F, Yv, Xv), dtype), jnp.zeros((F, Ym, Xm), dtype))
 
+        # cycle="w": gamma=2 recursion — each level takes TWO coarse
+        # corrections (with a residual recompute between), the textbook
+        # W-cycle. The extra visits land on the cheap coarse levels, so the
+        # in-kernel cost grows far less than the two-grid convergence
+        # factor improves on stiff large-dt systems.
+        gamma = 2 if cycle == "w" else 1
+
         def vcycle(l, b):
             if l == L - 1:
                 x, _ = sweeps(l, zeros(l), b, coarse_sweeps)
                 return x
             x, r = sweeps(l, zeros(l), b, nu_pre)
-            bc = mats[l].restrict(r)
-            if has_bcs:
-                # constraint rows carry u - g, not PDE residual: don't smear
-                # interior residual into them, and coarse corrections must
-                # vanish there (solve/gmg.py zero_bc_rows)
-                bc = (bc[0] * keep[l + 1], bc[1])
-            xc = vcycle(l + 1, bc)
-            pf = mats[l].prolong(xc)
-            if has_bcs:
-                pf = (pf[0] * keep[l], pf[1])
-            x = (x[0] + pf[0], x[1] + pf[1])
-            Av, Am = Az(l, x)
-            r = (b[0] - Av, b[1] - Am)
+            for g_it in range(gamma):
+                bc = mats[l].restrict(r)
+                if has_bcs:
+                    # constraint rows carry u - g, not PDE residual: don't
+                    # smear interior residual into them, and coarse
+                    # corrections must vanish there (gmg zero_bc_rows)
+                    bc = (bc[0] * keep[l + 1], bc[1])
+                xc = vcycle(l + 1, bc)
+                pf = mats[l].prolong(xc)
+                if has_bcs:
+                    pf = (pf[0] * keep[l], pf[1])
+                x = (x[0] + pf[0], x[1] + pf[1])
+                Av, Am = Az(l, x)
+                r = (b[0] - Av, b[1] - Am)
             x, _ = sweeps(l, x, r, nu_post)
             return x
 

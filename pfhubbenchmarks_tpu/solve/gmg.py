@@ -145,7 +145,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              max_levels: int = 10, precond_dtype=jnp.float32,
              use_pallas: bool = False, use_tiled_sweeps: bool = False,
              precond_rule: str | None = None, min_cells: int = 7,
-             dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto"):
+             dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto",
+             cycle: str = "v"):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -275,7 +276,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     # Dirichlet rows are handled in-kernel via 0/1 edge masks
     # (ops/pallas_vcycle._bc_masks).
     fused = None
-    if (use_pallas and fuse_vcycle != "off" and not needs_coords
+    if (use_pallas and fuse_vcycle not in ("off", "split_levels")
+            and not needs_coords
             and not grid.periodic and len(grids) >= 2
             and transfers_fusable(grids)):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
@@ -291,7 +293,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
                 with_matvec=True,
                 matvec_grid=(grid if precond_rule else None),
-                level_bcs=level_bcs)
+                level_bcs=level_bcs, cycle=cycle)
 
     # sub-cycle fusion: when the FINE level exceeds the whole-kernel VMEM
     # envelope (bench3's 350²), fuse the largest TAIL of the hierarchy that
@@ -301,7 +303,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     # sweeps collapse from ~15-20 device ops to ONE launch per V-cycle.
     sub_fused = None
     sub_fused_at = None
-    if (fused is None and use_pallas and fuse_vcycle != "off"
+    if (fused is None and use_pallas
+            and fuse_vcycle not in ("off", "split_levels")
             and not needs_coords and not grid.periodic):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
@@ -314,7 +317,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 sub_fused = make_fused_vcycle(
                     tail, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
                     coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
-                    level_bcs=level_bcs[lf:])
+                    level_bcs=level_bcs[lf:], cycle=cycle)
                 sub_fused_at = lf
                 break
 
@@ -327,6 +330,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     split_descend = split_ascend = None
     split_mv_jv = None
     if (sub_fused is not None and sub_fused_at == 1
+            and fuse_vcycle != "split_levels"
             and transfers_fusable(grids[:2])
             and fits_vmem(grids[0], n_fields, nq=grids[0].tab().nq,
                           kernel="sweep_loop")):
@@ -341,14 +345,47 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             grids[0], grids[1], terms, n_fields, nu=nu_post,
             dtype=precond_dtype, bcs_fine=level_bcs[0],
             bcs_coarse=level_bcs[1])
-        # fused (z, Az) pair for FGMRES: A z must be the TRUE-rule fine
-        # operator (see make_fused_vcycle's matvec_grid note). The 4th
-        # launch replaces the outer matvec entirely.
-        if not level_bcs[0] and fits_vmem(grid, n_fields, nq=grid.tab().nq):
-            from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
 
-            split_mv_jv = make_pallas_jvp(grid, terms, n_fields,
-                                          dtype=precond_dtype)
+    # fuse_vcycle="split_levels": EVERY level above the coarsest gets a
+    # descend/ascend kernel pair and the coarsest keeps the exact dense
+    # solve OUTSIDE the kernels (in-kernel flatten of tiled planes is not
+    # expressible in Mosaic). More launches than the monolithic-tail split
+    # (2(L-1)+1 vs 3) but the dense coarse is a far stronger solve than the
+    # tail kernel's LMR sweeps — measured on bench3: 24-sweep in-kernel 7²
+    # coarse costs ~1.5x the Krylov iterations of the dense inverse.
+    level_splits = None
+    if (fused is None and use_pallas and fuse_vcycle == "split_levels"
+            and not needs_coords and not grid.periodic and len(grids) >= 2
+            and all(transfers_fusable(grids[l:l + 2])
+                    and fits_vmem(grids[l], n_fields,
+                                  nq=grids[l].tab().nq, kernel="sweep_loop")
+                    for l in range(len(grids) - 1))):
+        from pfhubbenchmarks_tpu.ops.pallas_vcycle import (
+            make_fused_ascend, make_fused_descend)
+
+        level_splits = [
+            (make_fused_descend(grids[l], grids[l + 1], terms, n_fields,
+                                nu=nu_pre, dtype=precond_dtype,
+                                bcs_fine=level_bcs[l],
+                                bcs_coarse=level_bcs[l + 1]),
+             make_fused_ascend(grids[l], grids[l + 1], terms, n_fields,
+                               nu=nu_post, dtype=precond_dtype,
+                               bcs_fine=level_bcs[l],
+                               bcs_coarse=level_bcs[l + 1]))
+            for l in range(len(grids) - 1)]
+        sub_fused = None
+        sub_fused_at = None
+
+    # fused (z, Az) pair for FGMRES: A z must be the TRUE-rule fine
+    # operator (see make_fused_vcycle's matvec_grid note). The extra
+    # launch replaces the outer matvec entirely.
+    if ((split_descend is not None or level_splits is not None)
+            and not level_bcs[0]
+            and fits_vmem(grid, n_fields, nq=grid.tab().nq)):
+        from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
+
+        split_mv_jv = make_pallas_jvp(grid, terms, n_fields,
+                                      dtype=precond_dtype)
 
     def build(w, w0, dt):
         if fused is not None:
@@ -503,8 +540,23 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                     rv = rv.at[f, i, :].set(0.0)
             return rv, rm
 
+        gamma = 2 if cycle == "w" else 1
+
         def vcycle(l, b):
             jvp, _ = ops[l]
+            if level_splits is not None and l < len(grids) - 1:
+                d_k, a_k = level_splits[l]
+                wl_l, w0l_l = level_states[l]
+                x, bc = d_k(b, wl_l, w0l_l, dtl, level_pinvs[l])
+                xc = vcycle(l + 1, bc)
+                z = a_k(b, x, xc, wl_l, w0l_l, dtl, level_pinvs[l])
+                for _ in range(gamma - 1):
+                    rz = tr.sub(b, jvp(z))
+                    x2, bc2 = d_k(rz, wl_l, w0l_l, dtl, level_pinvs[l])
+                    xc2 = vcycle(l + 1, bc2)
+                    z = tr.add(z, a_k(rz, x2, xc2, wl_l, w0l_l, dtl,
+                                      level_pinvs[l]))
+                return z
             if l == 0 and split_descend is not None:
                 # three-kernel split V-cycle: descend + fused tail + ascend
                 wl0, w0l0 = level_states[0]
@@ -525,9 +577,10 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 x, _ = smooth(l, tr.zeros_like(b), b, coarse_sweeps)
                 return x
             x, r = smooth(l, tr.zeros_like(b), b, nu_pre)
-            bc_ = zero_bc_rows(l + 1, Rs[l](r))
-            x = tr.add(x, zero_bc_rows(l, Ps[l](vcycle(l + 1, bc_))))
-            r = tr.sub(b, jvp(x))
+            for _ in range(gamma):
+                bc_ = zero_bc_rows(l + 1, Rs[l](r))
+                x = tr.add(x, zero_bc_rows(l, Ps[l](vcycle(l + 1, bc_))))
+                r = tr.sub(b, jvp(x))
             x, _ = smooth(l, x, r, nu_post)
             return x
 
@@ -535,7 +588,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             z = vcycle(0, _cast(r, precond_dtype))
             return _cast(z, dtype)
 
-        if split_mv_jv is not None and split_descend is not None:
+        if split_mv_jv is not None and (split_descend is not None
+                                        or level_splits is not None):
             wf0, w0f0 = level_states[0]
 
             def minv_matvec(r):

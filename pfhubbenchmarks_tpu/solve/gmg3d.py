@@ -44,13 +44,25 @@ def build_hierarchy3d(grid: TetGrid, max_levels: int = 10,
 def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                dtype=None, needs_coords: bool = False, *,
                nu_pre: int = 2, nu_post: int = 2, coarse_sweeps: int = 24,
-               max_levels: int = 10, precond_dtype=jnp.float32):
+               max_levels: int = 10, precond_dtype=jnp.float32,
+               precond_rule: str | None = None, cycle: str = "v"):
     """``dirichlet_for(grid) -> (DirichletBC3D, ...)`` rebuilds face BCs on
     every coarse level (coarse rediscretization keeps BC rows ``u - g``,
-    mirroring the 2D cycle)."""
+    mirroring the 2D cycle).
+
+    ``precond_rule``: cheap-quadrature rediscretization of the WHOLE
+    hierarchy (2D: SolverConfig.precond_rule). The ffc3 tet rule is 8
+    points/tet; 'keast2' (4 pts) or 'keast1' (1 pt) cut the einsum volume
+    of every smoothing J.v — the 3D per-iteration bottleneck (measured
+    50³: one f32 residual eval 3.2 ms at nq=8; the V-cycle 21.7 ms).
+    Transfers/injection are rule-independent, so converged solutions are
+    unchanged (the outer residual/J.v keep the FFC-parity rule)."""
     dtype = dtype or jnp.float64
     dirichlet_for = dirichlet_for or (lambda g: ())
     grids = build_hierarchy3d(grid, max_levels=max_levels)
+    if precond_rule:
+        grids = [dataclasses.replace(g, rule_name=precond_rule)
+                 for g in grids]
     level_bcs = [dirichlet_for(g) for g in grids]
     residuals = [make_residual3d(g, terms, n_fields, dirichlet=bcs,
                                  needs_coords=needs_coords,
@@ -141,6 +153,8 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                     rv = rv.at[f, i, :, :].set(0.0)
             return (rv,)
 
+        gamma = 2 if cycle == "w" else 1
+
         def vcycle(l, b):
             jvp, _ = ops[l]
             if l == len(grids) - 1:
@@ -149,9 +163,10 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                 x, _ = smooth(l, tr.zeros_like(b), b, coarse_sweeps)
                 return x
             x, r = smooth(l, tr.zeros_like(b), b, nu_pre)
-            bc_ = zero_bc_rows(l + 1, Rs[l](r))
-            x = tr.add(x, zero_bc_rows(l, Ps[l](vcycle(l + 1, bc_))))
-            r = tr.sub(b, jvp(x))
+            for _ in range(gamma):
+                bc_ = zero_bc_rows(l + 1, Rs[l](r))
+                x = tr.add(x, zero_bc_rows(l, Ps[l](vcycle(l + 1, bc_))))
+                r = tr.sub(b, jvp(x))
             x, _ = smooth(l, x, r, nu_post)
             return x
 

@@ -114,7 +114,10 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
     emulated (~2x slower per op and a far bigger compiled program).
     """
     krylov = SOLVERS[cfg.krylov]
-    krylov_kwargs = dict(rtol=cfg.krylov_rtol, atol=cfg.krylov_atol,
+    # inexact-Newton truncation floor (config.SolverConfig.krylov_atol_frac):
+    # don't solve linear systems decades below the nonlinear tolerance
+    krylov_atol = max(cfg.krylov_atol, cfg.krylov_atol_frac * cfg.newton_atol)
+    krylov_kwargs = dict(rtol=cfg.krylov_rtol, atol=krylov_atol,
                          maxiter=cfg.krylov_max_iters, restart=cfg.gmres_restart)
     if cfg.krylov == "bicgstab":
         krylov_kwargs.pop("restart")

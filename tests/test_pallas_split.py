@@ -181,3 +181,48 @@ def test_gmg_uses_split_path_and_matches_unfused():
     for a, b in zip(z2, z):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_gmg_split_levels_matches_unfused():
+    """fuse_vcycle='split_levels': per-level descend/ascend kernels with the
+    exact dense coarse solve outside — must equal the plain XLA V-cycle with
+    the same dense coarse."""
+    from pfhubbenchmarks_tpu.solve.gmg import make_gmg
+
+    problem, grids, w, dt, pinvs, states, r = _setup(20)
+    F = problem.n_fields
+    g = problem.grid
+
+    import pfhubbenchmarks_tpu.ops.pallas_vcycle as pv
+
+    orig_make_descend = pv.make_fused_descend
+    orig_make_ascend = pv.make_fused_ascend
+    used = {"descend": 0, "ascend": 0}
+    try:
+        def mk_descend(*a, **k):
+            used["descend"] += 1
+            k["interpret"] = True
+            return orig_make_descend(*a, **k)
+
+        def mk_ascend(*a, **k):
+            used["ascend"] += 1
+            k["interpret"] = True
+            return orig_make_ascend(*a, **k)
+
+        pv.make_fused_descend = mk_descend
+        pv.make_fused_ascend = mk_ascend
+        build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         use_pallas=True, min_cells=5,
+                         fuse_vcycle="split_levels")
+        z = build(w, w, dt)(r)
+    finally:
+        pv.make_fused_descend = orig_make_descend
+        pv.make_fused_ascend = orig_make_ascend
+    assert used["descend"] == 2 and used["ascend"] == 2  # levels 20, 10
+
+    build_xla = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         use_pallas=False, min_cells=5)
+    z_ref = build_xla(w, w, dt)(r)
+    for a, b in zip(z, z_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -253,3 +253,44 @@ def test_fused_vcycle_general_ratio_matches_xla_vcycle():
     for a, b in zip(z_fused, z_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_wcycle_matches_xla_wcycle():
+    """cycle='w' (two coarse corrections per level): fused kernel == XLA."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    problem = make(nx=16, ny=16)
+    g = problem.grid
+    F = problem.n_fields
+
+    xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         nu_pre=2, nu_post=2, coarse_sweeps=8,
+                         dense_coarse_max_dofs=0, cycle="w")
+    grids = build_hierarchy(g)
+    fused = make_fused_vcycle(grids, problem.terms, F, nu_pre=2,
+                              nu_post=2, coarse_sweeps=8,
+                              dtype=jnp.float32, cycle="w", interpret=True)
+
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+    rng = np.random.default_rng(7)
+    r_v = np.zeros((F,) + g.vshape, np.float32)
+    r_m = np.zeros((F,) + g.mshape, np.float32)
+    r_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    r = (jnp.asarray(r_v), jnp.asarray(r_m))
+
+    z_xla = xla_build(w, w, dt)(r)
+    pinvs = []
+    wl = w
+    for l, gl in enumerate(grids):
+        pinvs.append(make_block_jacobi(gl, problem.terms, F,
+                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
+        if l + 1 < len(grids):
+            wl = inject_state(grids[l + 1], grids[l])(wl)
+    z_fused = fused(r, w, w, dt, pinvs)
+    for a, b in zip(z_fused, z_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)

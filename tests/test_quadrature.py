@@ -41,3 +41,24 @@ def test_gauss_jacobi_against_exact():
         # exact: int_{-1}^{1} (1-t) t^k dt
         exact = (1 - (-1) ** (k + 1)) / (k + 1) - (1 - (-1) ** (k + 2)) / (k + 2)
         assert abs(approx - exact) < 1e-14
+
+
+def test_keast_tet_rules_exactness():
+    """keast1 integrates linears exactly, keast2 quadratics (the
+    preconditioner-rule requirement for P1 stiffness/mass rediscretization)."""
+    import numpy as np
+
+    from pfhubbenchmarks_tpu.fem.quadrature import (get_tet_rule,
+                                                    tet_monomial_integral)
+
+    for name, deg in (("keast1", 1), ("keast2", 2)):
+        r = get_tet_rule(name)
+        for a in range(deg + 1):
+            for b in range(deg + 1 - a):
+                for c in range(deg + 1 - a - b):
+                    got = float(np.sum(
+                        r.weights * r.points[:, 0] ** a
+                        * r.points[:, 1] ** b * r.points[:, 2] ** c))
+                    np.testing.assert_allclose(
+                        got, tet_monomial_integral(a, b, c),
+                        rtol=1e-13, err_msg=f"{name} x^{a} y^{b} z^{c}")

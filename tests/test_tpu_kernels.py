@@ -136,6 +136,39 @@ def test_fused_vcycle_minv_matvec_true_rule():
                                    atol=5e-6 * scale)
 
 
+def test_split_vcycle_compiles_and_matches(b3):
+    """The bench3-config split V-cycle (descend + fused tail + ascend at
+    350², plus the exported true-rule (z, Az) pair) compiles on Mosaic and
+    matches the XLA cycle."""
+    from pfhubbenchmarks_tpu.solve.gmg import make_gmg
+
+    problem, g, F, w = b3
+    dt = jnp.asarray(0.05, jnp.float32)
+    s = problem.solver
+    build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                     use_pallas=True, precond_rule=s.precond_rule)
+    Minv = build(w, w, dt)
+    assert hasattr(Minv, "minv_matvec")
+    rng = np.random.default_rng(5)
+    r = _rand_r(g, F, rng)
+    z, az = jax.jit(Minv.minv_matvec)(r)
+
+    xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         precond_rule=s.precond_rule,
+                         dense_coarse_max_dofs=0)
+    z_ref = jax.jit(xla_build(w, w, dt))(r)
+    for a, b in zip(z, z_ref):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale)
+    res32 = make_residual(g, problem.terms, F, dtype=jnp.float32)
+    _, az_true = jax.jvp(lambda u: res32(u, w, dt), (w,), (z,))
+    for a, b in zip(az, az_true):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6 * scale)
+
+
 def test_fused_vcycle_dirichlet_compiles():
     """bench6's Dirichlet V-cycle (in-kernel edge masks) compiles on Mosaic
     and matches the XLA cycle."""

@@ -76,8 +76,39 @@ class Benchmark3DProblem:
     def residual_lowp(self):
         return self.residual(dtype=jnp.float32) if self.mixed_precision else None
 
+    def _pallas_backend_ok(self) -> bool:
+        if self.solver.use_pallas == "off" or self.needs_coords:
+            return False
+        if self.solver.use_pallas == "on":
+            return True
+        import jax
+
+        return "TPU" in jax.devices()[0].device_kind
+
     def lowp_jvp_factory(self):
-        return None  # 3D Pallas kernels: future work (VMEM tiling needed)
+        """z-slab-tiled Pallas J.v for the outer Krylov matvec (TRUE rule).
+        The XLA einsum J.v at 50³ measured 5.7 ms (r3 attribution); the
+        tiled kernel assembles in-register."""
+        if not (self.mixed_precision and self._pallas_backend_ok()
+                and not self.dirichlet_spec):
+            return None
+        import jax.numpy as jnp_
+
+        from pfhubbenchmarks_tpu.ops.pallas3d import (choose_block_zrows,
+                                                      make_tiled_jvp3d)
+
+        nq = self.grid.tab().nq
+        bc = choose_block_zrows(self.grid, self.n_fields, nq)
+        if bc is None:
+            return None
+        prep, jv = make_tiled_jvp3d(self.grid, self.terms, self.n_fields,
+                                    dtype=jnp_.float32, block_rows=bc)
+
+        def factory(w_lp, w0_lp, dt_lp):
+            staged = prep(w_lp, w0_lp)
+            return lambda v: jv(v, staged, dt_lp)
+
+        return factory
 
     def precond_builder(self):
         kry_dtype = jnp.float32 if self.mixed_precision else self.dtype
@@ -94,7 +125,8 @@ class Benchmark3DProblem:
                               coarse_sweeps=s.gmg_coarse_sweeps,
                               max_levels=s.gmg_max_levels,
                               precond_rule=s.precond_rule,
-                              cycle=s.gmg_cycle)
+                              cycle=s.gmg_cycle,
+                              use_pallas=self._pallas_backend_ok())
         return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
                                    dirichlet=self.dirichlet, dtype=kry_dtype,
                                    needs_coords=self.needs_coords)

@@ -45,7 +45,8 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                dtype=None, needs_coords: bool = False, *,
                nu_pre: int = 2, nu_post: int = 2, coarse_sweeps: int = 24,
                max_levels: int = 10, precond_dtype=jnp.float32,
-               precond_rule: str | None = None, cycle: str = "v"):
+               precond_rule: str | None = None, cycle: str = "v",
+               use_pallas: bool = False):
     """``dirichlet_for(grid) -> (DirichletBC3D, ...)`` rebuilds face BCs on
     every coarse level (coarse rediscretization keeps BC rows ``u - g``,
     mirroring the 2D cycle).
@@ -72,6 +73,43 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                                        dtype=precond_dtype,
                                        needs_coords=needs_coords)
                    for g, bcs in zip(grids, level_bcs)]
+
+    # Pallas 3D kernels (ops/pallas3d.py): whole-array smoothing-phase
+    # kernels where the volume fits VMEM, z-slab-tiled sweeps + J.v at the
+    # fine level — the XLA einsum J.v is the 3D per-iteration bottleneck
+    # (21.7 ms/V-cycle at 50³, r3 attribution). BC-free levels only (the
+    # 3D Dirichlet problems run the XLA path).
+    pallas_sweeps = [None] * len(grids)
+    pallas_jvs = [None] * len(grids)
+    if use_pallas and not needs_coords:
+        from pfhubbenchmarks_tpu.ops.pallas3d import (
+            choose_block_zrows, fits_vmem3d, make_pallas_jvp3d,
+            make_pallas_lmr_sweep_loop3d, make_tiled_jvp3d,
+            make_tiled_lmr_sweep3d)
+
+        for l, (g, bcs) in enumerate(zip(grids, level_bcs)):
+            if bcs:
+                continue
+            nq_g = g.tab().nq
+            counts = sorted({nu_pre, nu_post, coarse_sweeps})
+            if fits_vmem3d(g, n_fields, nq_g, kernel="sweep_loop"):
+                pallas_sweeps[l] = ("loop", {
+                    n: make_pallas_lmr_sweep_loop3d(
+                        g, terms, n_fields, dtype=precond_dtype, n_sweeps=n)
+                    for n in counts})
+                if fits_vmem3d(g, n_fields, nq_g):
+                    pallas_jvs[l] = ("whole",
+                                     make_pallas_jvp3d(g, terms, n_fields,
+                                                       dtype=precond_dtype))
+            else:
+                bc_rows = choose_block_zrows(g, n_fields, nq_g)
+                if bc_rows is not None and bc_rows < g.nz:
+                    pallas_sweeps[l] = ("tiled",) + make_tiled_lmr_sweep3d(
+                        g, terms, n_fields, dtype=precond_dtype,
+                        block_rows=bc_rows)
+                    pallas_jvs[l] = ("tiled",) + make_tiled_jvp3d(
+                        g, terms, n_fields, dtype=precond_dtype,
+                        block_rows=bc_rows)
     Ps = [prolong3d_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     Rs = [restrict3d_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
     injs = [inject3d_any(grids[l + 1], grids[l]) for l in range(len(grids) - 1)]
@@ -109,14 +147,48 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
 
     def build(w, w0, dt):
         ops = []
+        sweep_fns = []
         wl = _cast(w, precond_dtype)
         w0l = _cast(w0, precond_dtype)
         dtl = jnp.asarray(dt, precond_dtype)
         for l in range(len(grids)):
-            res_l = residuals[l]
-            _, jvp = jax.linearize(lambda u: res_l(u, w0l, dtl), wl)
             bj = bj_builders[l](wl, w0l, dtl)
+            if pallas_jvs[l] is not None and pallas_jvs[l][0] == "tiled":
+                _, prep_j, jv_j = pallas_jvs[l]
+                staged_j = prep_j(wl, w0l)
+
+                def jvp(v, jv_j=jv_j, staged=staged_j, dtl=dtl):
+                    return jv_j(v, staged, dtl)
+            elif pallas_jvs[l] is not None:
+                _, pjv = pallas_jvs[l]
+                wl_c, w0l_c = wl, w0l
+
+                def jvp(v, pjv=pjv, wl=wl_c, w0l=w0l_c, dtl=dtl):
+                    return pjv(wl, w0l, dtl, v)
+            else:
+                res_l = residuals[l]
+                _, jvp = jax.linearize(lambda u: res_l(u, w0l, dtl), wl)
             ops.append((jvp, bj))
+            if pallas_sweeps[l] is None:
+                sweep_fns.append(None)
+            elif pallas_sweeps[l][0] == "loop":
+                _, kernels = pallas_sweeps[l]
+                pinv = bj.pinv_planes
+
+                def sweep_fn(x, r, n, kernels=kernels, pinv=pinv,
+                             wl=wl, w0l=w0l, dtl=dtl):
+                    return kernels[n](x, r, wl, w0l, dtl, pinv)
+
+                sweep_fns.append(sweep_fn)
+            else:
+                _, prep_s, tsweep = pallas_sweeps[l]
+                staged_s = prep_s(wl, w0l, bj.pinv_planes)
+
+                def sweep_fn(x, r, n, tsweep=tsweep, staged=staged_s,
+                             dtl=dtl):
+                    return tsweep(x, r, n, staged, dtl)
+
+                sweep_fns.append(sweep_fn)
             if l + 1 < len(grids):
                 wl = injs[l](wl)
                 w0l = injs[l](w0l)
@@ -126,6 +198,8 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
 
         def smooth(l, x, r, sweeps):
             jvp, bj = ops[l]
+            if sweep_fns[l] is not None:
+                return sweep_fns[l](x, r, sweeps)
 
             def body(carry, _):
                 x, r = carry

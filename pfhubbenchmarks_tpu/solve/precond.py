@@ -225,6 +225,8 @@ def make_block_jacobi3d(grid, terms, n_fields: int, dirichlet=(),
             (rv,) = r
             return (jnp.einsum("zyxij,jzyx->izyx", P_inv, rv),)
 
+        # [F, F, Z, Y, X] planes for the Pallas 3D kernels (ops/pallas3d.py)
+        Minv.pinv_planes = jnp.transpose(P_inv, (3, 4, 0, 1, 2))
         return Minv
 
     return build

@@ -104,10 +104,14 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         # rediscretization — iteration counts measured identical (r3 CPU
         # lab: krylov 457 -> 453 over 8 steps, Newton counts and time grid
         # unchanged); dunavant1 collapses the CH mass term (krylov x4.9).
+        # gmg_coarse_sweeps 8: the fused kernel is serial-depth bound and
+        # the 12^2 coarse plateaus by 8 LMR sweeps — 24 was pure wasted
+        # depth (r3 TPU: wall 2.30 -> 2.09 s, krylov/trajectory identical)
         **{"solver": SolverConfig(line_search="basic", report_atol=2.6e-5,
                                   gmg_nu_pre=3, gmg_nu_post=3,
                                   precond_rule="dunavant2",
-                                  krylov_atol_frac=0.1),
+                                  krylov_atol_frac=0.1,
+                                  gmg_coarse_sweeps=8),
            **overrides},
     )
 

@@ -76,8 +76,12 @@ def test_bench2_six_field_newton_sharded_matches_single(mesh):
     ws = shard_state(w, mesh)
     shard = jax.jit(newton, in_shardings=((s, s), (s, s), None))(ws, ws, 0.05)
     assert int(single.iters) == int(shard.iters)
+    # rtol 1e-8: the inexact-Newton truncation floor (krylov_atol_frac)
+    # stops the linear solve earlier, so sharded-vs-single reduction-order
+    # noise at the stopping point is ~3e-9 instead of <1e-9 (measured);
+    # the converged STATES still agree far below solver tolerance.
     np.testing.assert_allclose(np.asarray(shard.x[0]), np.asarray(single.x[0]),
-                               rtol=1e-9, atol=1e-11)
+                               rtol=1e-8, atol=1e-11)
 
 
 def test_bench6_dirichlet_rows_sharded_match_single(mesh):

@@ -183,13 +183,14 @@ def test_gmg_uses_split_path_and_matches_unfused():
                                    rtol=1e-6, atol=1e-7)
 
 
-def test_gmg_split_levels_matches_unfused():
+@pytest.mark.parametrize("nx", [20, 45])  # dyadic pairs; R=3 general pairs
+def test_gmg_split_levels_matches_unfused(nx):
     """fuse_vcycle='split_levels': per-level descend/ascend kernels with the
     exact dense coarse solve outside — must equal the plain XLA V-cycle with
     the same dense coarse."""
     from pfhubbenchmarks_tpu.solve.gmg import make_gmg
 
-    problem, grids, w, dt, pinvs, states, r = _setup(20)
+    problem, grids, w, dt, pinvs, states, r = _setup(nx)
     F = problem.n_fields
     g = problem.grid
 

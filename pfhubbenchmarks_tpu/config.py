@@ -129,8 +129,13 @@ class SolverConfig:
     # 100^2: 0.22 ms/apply). 'off' keeps the per-level whole-phase kernels,
     # which can win on wider systems (bench2 6-field: fused apply measured
     # 1.7 ms vs ~0.04 ms per smoothing phase) and composes with the exact
-    # dense coarse solve, which the fused kernel lacks.
-    fuse_vcycle: str = "auto"       # 'auto' | 'off'
+    # dense coarse solve, which the fused kernel lacks. 'split_levels'
+    # builds per-level descend/ascend kernel pairs around the exact dense
+    # coarse solve (bench3's production path: VMEM-exceeding fine level,
+    # 2(L-1) launches/apply). 'split_chain' fuses the WHOLE descent and the
+    # WHOLE ascent into one kernel each around the dense coarse (2 launches
+    # + dense/apply) — for hierarchies whose every level fits VMEM together.
+    fuse_vcycle: str = "auto"  # 'auto' | 'off' | 'split_levels' | 'split_chain'
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
     # When to (re)build the preconditioner: 'newton' = every Newton
     # iteration (SNES default), 'solve' = once per nonlinear solve at the

@@ -434,6 +434,14 @@ def _build_pair_mats(fine: CrossedTriGrid, coarse: CrossedTriGrid):
     return arrs, load
 
 
+def _compiler_params(interpret: bool):
+    """Mosaic params for the fused kernels: the 110 MB scoped-VMEM cap is
+    what lets whole-array kernels reach bench2's 6-field and bench3's 350²
+    grids (measured safe on v5e; the default 16 MB rejects them)."""
+    return (None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20))
+
+
 def _bj_apply(pinv, r, F):
     pv, pm = pinv
     zv, zm = [], []
@@ -532,6 +540,281 @@ def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
         return (ox_v, ox_m), (bc_v, bc_m)
 
     return descend
+
+
+def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
+                             n_fields: int, *, nu: int = 2,
+                             dtype=jnp.float32, level_bcs=None,
+                             interpret: bool = False):
+    """Multi-level descend: ``chain(b, w, w0, dt, pinvs) -> (xs, bs, bc)``
+    — for each level l in 0..k-1 of ``grids`` (k = len-1 pairs): ``nu`` LMR
+    pre-sweeps from x=0, then Galerkin restriction, all in ONE kernel.
+    Returns the per-level smoothed iterates ``xs`` and restricted RHS
+    ``bs[1..k-1]`` (the ascend chain's residual-update inputs) plus the
+    coarsest-level RHS ``bc``. Coarse-level linearization states come from
+    in-kernel injection of the top-level ``(w, w0)``.
+
+    Mathematically identical to per-level make_fused_descend calls — this
+    exists because each pallas launch costs ~0.2 ms at PFHub sizes and the
+    mid-hierarchy levels are tiny (bench3: 175², 35²)."""
+    K = len(grids) - 1
+    F = n_fields
+    assert K >= 1
+    residuals = [_scalar_assembly(g, terms, F) for g in grids[:K]]
+    level_bcs = level_bcs or [()] * len(grids)
+    has_bcs = any(level_bcs)
+    bc_masks_all = (_bc_masks(grids, level_bcs, F) if has_bcs else None)
+    pair_arrs = []
+    pair_loads = []
+    for l in range(K):
+        arrs, load = _build_pair_mats(grids[l], grids[l + 1])
+        pair_arrs.append(arrs)
+        pair_loads.append(load)
+    shapes = [(g.vshape, g.mshape, g.ny, g.nx) for g in grids]
+
+    def kernel(*refs):
+        b_v, b_m, w_v, w_m, w0_v, w0_m = refs[:6]
+        pinv = [(refs[6 + 2 * l], refs[7 + 2 * l]) for l in range(K)]
+        base = 6 + 2 * K
+        mats = []
+        for l in range(K):
+            n = len(pair_arrs[l])
+            mats.append(pair_loads[l](refs[base:base + n]))
+            base += n
+        if has_bcs:
+            keep = [1.0 - refs[base + l][:] for l in range(K + 1)]
+            base += K + 1
+        dt = refs[base][0, 0]
+        outs = refs[base + 1:]
+        # outputs: xs (2K), bs for levels 1..K-1 (2(K-1)), bc (2)
+        xs_out = [(outs[2 * l], outs[2 * l + 1]) for l in range(K)]
+        bs_out = [(outs[2 * K + 2 * i], outs[2 * K + 2 * i + 1])
+                  for i in range(K - 1)]
+        bc_out = (outs[2 * K + 2 * (K - 1)], outs[2 * K + 2 * (K - 1) + 1])
+        az = [(outs[4 * K + 2 * l], outs[4 * K + 2 * l + 1])
+              for l in range(K)]     # scratch comes after all outputs
+
+        w_l = [(w_v[:], w_m[:])]
+        w0_l = [(w0_v[:], w0_m[:])]
+        for l in range(K - 1):
+            w_l.append(mats[l].inject(w_l[-1]))
+            w0_l.append(mats[l].inject(w0_l[-1]))
+
+        b = (b_v[:], b_m[:])
+        for l in range(K):
+            ny, nx = shapes[l][2], shapes[l][3]
+
+            def Az(z, l=l, ny=ny, nx=nx):
+                _, planes = jax.jvp(
+                    lambda u: residuals[l](u, w0_l[l], dt), (w_l[l],), (z,))
+                _scatter_refs(planes, az[l][0], az[l][1], F, ny, nx)
+                av, am = az[l][0][:], az[l][1][:]
+                if has_bcs:
+                    av = av * keep[l] + z[0] * (1.0 - keep[l])
+                return av, am
+
+            def body(_, carry, l=l, Az=Az):
+                x, r = carry
+                z = _bj_apply(pinv[l], r, F)
+                Av, Am = Az(z)
+                num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
+                den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
+                alpha = jnp.where(den > 0,
+                                  num / jnp.where(den > 0, den, 1.0), 0.0)
+                return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
+                        (r[0] - alpha * Av, r[1] - alpha * Am))
+
+            x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
+            x, r = lax.fori_loop(0, nu, body, (x0, b))
+            xs_out[l][0][:] = x[0]
+            xs_out[l][1][:] = x[1]
+            b = mats[l].restrict(r)
+            if has_bcs:
+                b = (b[0] * keep[l + 1], b[1])
+            if l + 1 < K:
+                bs_out[l][0][:] = b[0]
+                bs_out[l][1][:] = b[1]
+        bc_out[0][:] = b[0]
+        bc_out[1][:] = b[1]
+
+    mat_consts = [jnp.asarray(a, dtype) for arrs in pair_arrs for a in arrs]
+    if has_bcs:
+        mat_consts += [jnp.asarray(m, dtype) for m in bc_masks_all]
+    out_shape = []
+    for l in range(K):
+        (Yv, Xv), (Ym, Xm) = shapes[l][0], shapes[l][1]
+        out_shape += [jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                      jax.ShapeDtypeStruct((F, Ym, Xm), dtype)]
+    for l in range(1, K):
+        (Yv, Xv), (Ym, Xm) = shapes[l][0], shapes[l][1]
+        out_shape += [jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                      jax.ShapeDtypeStruct((F, Ym, Xm), dtype)]
+    (Yv, Xv), (Ym, Xm) = shapes[K][0], shapes[K][1]
+    out_shape += [jax.ShapeDtypeStruct((F, Yv, Xv), dtype),
+                  jax.ShapeDtypeStruct((F, Ym, Xm), dtype)]
+    scratch = []
+    for l in range(K):
+        (Yv, Xv), (Ym, Xm) = shapes[l][0], shapes[l][1]
+        scratch += [pltpu.VMEM((F, Yv, Xv), dtype),
+                    pltpu.VMEM((F, Ym, Xm), dtype)]
+    call = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (6 + 2 * K + len(mat_consts))
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shape),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )
+
+    def chain(b, w, w0, dt, pinvs):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        flat_p = [a for pv_pm in pinvs for a in pv_pm]
+        out = call(b[0], b[1], w[0], w[1], w0[0], w0[1], *flat_p,
+                   *mat_consts, dt_arr)
+        xs = [(out[2 * l], out[2 * l + 1]) for l in range(K)]
+        bs = [(out[2 * K + 2 * i], out[2 * K + 2 * i + 1])
+              for i in range(K - 1)]
+        bc = (out[4 * K - 2], out[4 * K - 1])
+        return xs, bs, bc
+
+    return chain
+
+
+def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
+                            n_fields: int, *, nu: int = 2,
+                            dtype=jnp.float32, level_bcs=None,
+                            interpret: bool = False):
+    """Multi-level ascend: ``chain(bs, xs, xc, w, w0, dt, pinvs) -> z`` —
+    from the coarsest correction ``xc`` upward through levels k-1..0 of
+    ``grids``: prolong, add to the descend iterate, recompute the level
+    residual against ``bs[l]``, ``nu`` post-sweeps. One kernel."""
+    K = len(grids) - 1
+    F = n_fields
+    assert K >= 1
+    residuals = [_scalar_assembly(g, terms, F) for g in grids[:K]]
+    level_bcs = level_bcs or [()] * len(grids)
+    has_bcs = any(level_bcs)
+    bc_masks_all = (_bc_masks(grids[:K], level_bcs[:K], F)
+                    if has_bcs else None)
+    pair_arrs = []
+    pair_loads = []
+    for l in range(K):
+        arrs, load = _build_pair_mats(grids[l], grids[l + 1])
+        pair_arrs.append(arrs)
+        pair_loads.append(load)
+    shapes = [(g.vshape, g.mshape, g.ny, g.nx) for g in grids]
+
+    def kernel(*refs):
+        idx = 0
+        bs = []
+        xs = []
+        for l in range(K):
+            bs.append((refs[idx], refs[idx + 1]))
+            idx += 2
+        for l in range(K):
+            xs.append((refs[idx], refs[idx + 1]))
+            idx += 2
+        xc_v, xc_m, w_v, w_m, w0_v, w0_m = refs[idx:idx + 6]
+        idx += 6
+        pinv = [(refs[idx + 2 * l], refs[idx + 2 * l + 1]) for l in range(K)]
+        idx += 2 * K
+        mats = []
+        for l in range(K):
+            n = len(pair_arrs[l])
+            mats.append(pair_loads[l](refs[idx:idx + n]))
+            idx += n
+        if has_bcs:
+            keep = [1.0 - refs[idx + l][:] for l in range(K)]
+            idx += K
+        dt = refs[idx][0, 0]
+        oz = (refs[idx + 1], refs[idx + 2])
+        az = [(refs[idx + 3 + 2 * l], refs[idx + 4 + 2 * l])
+              for l in range(K)]
+
+        w_l = [(w_v[:], w_m[:])]
+        w0_l = [(w0_v[:], w0_m[:])]
+        for l in range(K - 1):
+            w_l.append(mats[l].inject(w_l[-1]))
+            w0_l.append(mats[l].inject(w0_l[-1]))
+
+        xc = (xc_v[:], xc_m[:])
+        for l in range(K - 1, -1, -1):
+            ny, nx = shapes[l][2], shapes[l][3]
+
+            def Az(z, l=l, ny=ny, nx=nx):
+                _, planes = jax.jvp(
+                    lambda u: residuals[l](u, w0_l[l], dt), (w_l[l],), (z,))
+                _scatter_refs(planes, az[l][0], az[l][1], F, ny, nx)
+                av, am = az[l][0][:], az[l][1][:]
+                if has_bcs:
+                    av = av * keep[l] + z[0] * (1.0 - keep[l])
+                return av, am
+
+            pf = mats[l].prolong(xc)
+            if has_bcs:
+                pf = (pf[0] * keep[l], pf[1])
+            x = (xs[l][0][:] + pf[0], xs[l][1][:] + pf[1])
+            Av, Am = Az(x)
+            b = (bs[l][0][:], bs[l][1][:])
+            r = (b[0] - Av, b[1] - Am)
+
+            def body(_, carry, l=l, Az=Az):
+                x, r = carry
+                z = _bj_apply(pinv[l], r, F)
+                Av, Am = Az(z)
+                num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
+                den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
+                alpha = jnp.where(den > 0,
+                                  num / jnp.where(den > 0, den, 1.0), 0.0)
+                return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
+                        (r[0] - alpha * Av, r[1] - alpha * Am))
+
+            x, r = lax.fori_loop(0, nu, body, (x, r))
+            xc = x
+        oz[0][:] = xc[0]
+        oz[1][:] = xc[1]
+
+    mat_consts = [jnp.asarray(a, dtype) for arrs in pair_arrs for a in arrs]
+    if has_bcs:
+        mat_consts += [jnp.asarray(m, dtype) for m in bc_masks_all]
+    (Yv0, Xv0), (Ym0, Xm0) = shapes[0][0], shapes[0][1]
+    scratch = []
+    for l in range(K):
+        (Yv, Xv), (Ym, Xm) = shapes[l][0], shapes[l][1]
+        scratch += [pltpu.VMEM((F, Yv, Xv), dtype),
+                    pltpu.VMEM((F, Ym, Xm), dtype)]
+    n_vmem = 4 * K + 6 + 2 * K + len(mat_consts)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((F, Yv0, Xv0), dtype),
+                   jax.ShapeDtypeStruct((F, Ym0, Xm0), dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )
+
+    def chain(bs, xs, xc, w, w0, dt, pinvs):
+        dt_arr = jnp.asarray([[dt]], dtype)
+        flat = []
+        for b in bs:
+            flat += [b[0], b[1]]
+        for x in xs:
+            flat += [x[0], x[1]]
+        flat += [xc[0], xc[1], w[0], w[1], w0[0], w0[1]]
+        for pv_pm in pinvs:
+            flat += [pv_pm[0], pv_pm[1]]
+        out = call(*flat, *mat_consts, dt_arr)
+        return (out[0], out[1])
+
+    return chain
 
 
 def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,

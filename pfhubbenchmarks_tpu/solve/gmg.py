@@ -276,7 +276,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     # Dirichlet rows are handled in-kernel via 0/1 edge masks
     # (ops/pallas_vcycle._bc_masks).
     fused = None
-    if (use_pallas and fuse_vcycle not in ("off", "split_levels")
+    if (use_pallas and fuse_vcycle not in ("off", "split_levels", "split_chain")
             and not needs_coords
             and not grid.periodic and len(grids) >= 2
             and transfers_fusable(grids)):
@@ -304,7 +304,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     sub_fused = None
     sub_fused_at = None
     if (fused is None and use_pallas
-            and fuse_vcycle not in ("off", "split_levels")
+            and fuse_vcycle not in ("off", "split_levels", "split_chain")
             and not needs_coords and not grid.periodic):
         from pfhubbenchmarks_tpu.ops.pallas_residual import fits_vmem
         from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
@@ -376,10 +376,36 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         sub_fused = None
         sub_fused_at = None
 
+    # fuse_vcycle="split_chain": the whole descent (every level's
+    # pre-sweeps + restriction) is ONE kernel and the whole ascent
+    # (prolongation + residual update + post-sweeps per level) another —
+    # same math as split_levels at 2 launches + the external dense coarse
+    # instead of 2(L-1). The mid-hierarchy levels are tiny, so per-launch
+    # overhead (~0.2 ms at PFHub sizes) dominated the per-level variant.
+    split_chain = None
+    if (fused is None and use_pallas and fuse_vcycle == "split_chain"
+            and not needs_coords and not grid.periodic and len(grids) >= 2
+            and transfers_fusable(grids)
+            and fits_vmem(grids[0], n_fields, nq=grids[0].tab().nq,
+                          kernel="sweep_loop")):
+        from pfhubbenchmarks_tpu.ops.pallas_vcycle import (
+            make_fused_ascend_chain, make_fused_descend_chain)
+
+        split_chain = (
+            make_fused_descend_chain(grids, terms, n_fields, nu=nu_pre,
+                                     dtype=precond_dtype,
+                                     level_bcs=level_bcs),
+            make_fused_ascend_chain(grids, terms, n_fields, nu=nu_post,
+                                    dtype=precond_dtype,
+                                    level_bcs=level_bcs))
+        sub_fused = None
+        sub_fused_at = None
+
     # fused (z, Az) pair for FGMRES: A z must be the TRUE-rule fine
     # operator (see make_fused_vcycle's matvec_grid note). The extra
     # launch replaces the outer matvec entirely.
-    if ((split_descend is not None or level_splits is not None)
+    if ((split_descend is not None or level_splits is not None
+            or split_chain is not None)
             and not level_bcs[0]
             and fits_vmem(grid, n_fields, nq=grid.tab().nq)):
         from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
@@ -544,6 +570,14 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
         def vcycle(l, b):
             jvp, _ = ops[l]
+            if split_chain is not None and l == 0:
+                chain_d, chain_a = split_chain
+                wl0, w0l0 = level_states[0]
+                K = len(grids) - 1
+                xs, bs, bc = chain_d(b, wl0, w0l0, dtl, level_pinvs[:K])
+                xc = vcycle(K, bc)
+                return chain_a([b] + bs, xs, xc, wl0, w0l0, dtl,
+                               level_pinvs[:K])
             if level_splits is not None and l < len(grids) - 1:
                 d_k, a_k = level_splits[l]
                 wl_l, w0l_l = level_states[l]
@@ -589,7 +623,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             return _cast(z, dtype)
 
         if split_mv_jv is not None and (split_descend is not None
-                                        or level_splits is not None):
+                                        or level_splits is not None
+                                        or split_chain is not None):
             wf0, w0f0 = level_states[0]
 
             def minv_matvec(r):

@@ -184,6 +184,52 @@ def test_gmg_uses_split_path_and_matches_unfused():
 
 
 @pytest.mark.parametrize("nx", [20, 45])  # dyadic pairs; R=3 general pairs
+def test_gmg_split_chain_matches_unfused(nx):
+    """fuse_vcycle='split_chain': the whole descent and the whole ascent as
+    ONE kernel each around the external dense coarse — must equal the plain
+    XLA V-cycle."""
+    from pfhubbenchmarks_tpu.solve.gmg import make_gmg
+
+    problem, grids, w, dt, pinvs, states, r = _setup(nx)
+    F = problem.n_fields
+    g = problem.grid
+
+    import pfhubbenchmarks_tpu.ops.pallas_vcycle as pv
+
+    orig_d = pv.make_fused_descend_chain
+    orig_a = pv.make_fused_ascend_chain
+    used = {"d": 0, "a": 0}
+    try:
+        def mk_d(*a, **k):
+            used["d"] += 1
+            k["interpret"] = True
+            return orig_d(*a, **k)
+
+        def mk_a(*a, **k):
+            used["a"] += 1
+            k["interpret"] = True
+            return orig_a(*a, **k)
+
+        pv.make_fused_descend_chain = mk_d
+        pv.make_fused_ascend_chain = mk_a
+        build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         use_pallas=True, min_cells=5,
+                         fuse_vcycle="split_chain")
+        z = build(w, w, dt)(r)
+    finally:
+        pv.make_fused_descend_chain = orig_d
+        pv.make_fused_ascend_chain = orig_a
+    assert used["d"] == 1 and used["a"] == 1
+
+    build_xla = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         use_pallas=False, min_cells=5)
+    z_ref = build_xla(w, w, dt)(r)
+    for a, b in zip(z, z_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("nx", [20, 45])  # dyadic pairs; R=3 general pairs
 def test_gmg_split_levels_matches_unfused(nx):
     """fuse_vcycle='split_levels': per-level descend/ascend kernels with the
     exact dense coarse solve outside — must equal the plain XLA V-cycle with

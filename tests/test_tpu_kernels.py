@@ -199,3 +199,38 @@ def test_fused_vcycle_dirichlet_compiles():
         scale = max(float(jnp.abs(b).max()), 1e-6)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4 * scale)
+
+def test_split_chain_vcycle_compiles_and_matches():
+    """fuse_vcycle='split_chain' (whole descent + whole ascent as ONE
+    Mosaic kernel each around the external dense coarse) compiles on the
+    real TPU and matches the XLA cycle — bench1's 100² dunavant2 config."""
+    from pfhubbenchmarks_tpu.solve.gmg import make_gmg
+
+    problem = make_b1(nx=100, ny=100)
+    g = problem.grid
+    F = problem.n_fields
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+    build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                     use_pallas=True, precond_rule="dunavant2",
+                     fuse_vcycle="split_chain")
+    Minv = build(w, w, dt)
+    assert hasattr(Minv, "minv_matvec")
+    rng = np.random.default_rng(7)
+    r = _rand_r(g, F, rng)
+    z, az = jax.jit(Minv.minv_matvec)(r)
+
+    xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         precond_rule="dunavant2")
+    z_ref = jax.jit(xla_build(w, w, dt))(r)
+    for a, b in zip(z, z_ref):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale)
+
+    res32 = make_residual(g, problem.terms, F, dtype=jnp.float32)
+    _, az_true = jax.jvp(lambda u: res32(u, w, dt), (w,), (z,))
+    for a, b in zip(az, az_true):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6 * scale)

@@ -9,7 +9,11 @@ memory-bound FEM assembly+GMRES workload) gives ~70-95 s; BM1 runs 73 steps
 vs BM2's 120 with a 2-field (vs 6-field) system (~0.4x per-step system cost,
 partially offset by BM1's larger late-time dt stiffness). Estimate used:
 **60 s for the canonical `mpirun -np 8 python dolfin/bench1.py`**
-(README.md:18-23). vs_baseline = baseline_seconds / our_seconds (>1 means
+(README.md:18-23). Pinned by a measured anchor (round 3): a conventional
+single-rank scipy-CSR implementation of the identical problem
+(tools/cpu_anchor.py) takes 508 s on this host, so 60 s at 8 ranks assumes
+~8.5x parallel speedup — at/beyond linear, i.e. conservative (see
+BASELINE.md). vs_baseline = baseline_seconds / our_seconds (>1 means
 faster than the baseline).
 
 Accuracy is reported alongside: max relative error of total_free_energy on

@@ -84,6 +84,19 @@ class SolverConfig:
     # .scratch/b6_floor_probe.py). bench1/2/3 opt into 0.1 (probed: same
     # trajectories). 0 disables.
     krylov_atol_frac: float = 0.01
+    # Eisenstat–Walker adaptive forcing (choice 2, the PETSc -snes_ksp_ew
+    # family): Newton iteration k's linear solve stops at relative residual
+    # eta_k = gamma*(||F_k||/||F_{k-1}||)^2 (safeguarded, capped at
+    # ew_eta_max, floored at krylov_rtol) instead of the fixed KSP rtol —
+    # iterations far from the root don't deserve 1e-5 solves. 'fixed'
+    # reproduces PETSc's default constant-rtol behavior (what the reference
+    # runs). NOTE the dt controller consumes Newton counts, so looser early
+    # solves can shift the adaptive trajectory — enable per benchmark only
+    # after a trajectory probe.
+    krylov_forcing: str = "fixed"   # 'fixed' | 'ew'
+    ew_eta0: float = 0.3
+    ew_eta_max: float = 0.9
+    ew_gamma: float = 0.9
     # Sized so that marginal solves (the ones that decide whether a dt step
     # is accepted) get the same chance as the reference's 1000-iteration SOR
     # budget (dolfin/bench1.py:110) — a premature linear "failure" halves dt

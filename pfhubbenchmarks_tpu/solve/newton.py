@@ -216,12 +216,16 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             failed=~jnp.isfinite(n0),
             hist=hist0,
         )
+        if cfg.krylov_forcing == "ew":
+            state0["eta"] = jnp.asarray(cfg.ew_eta0, n0.dtype)
 
         def cond(s):
             return (~s["converged"]) & (~s["failed"]) & (s["k"] < cfg.newton_max_iters)
 
         def body(s):
             x, F = s["x"], s["F"]
+            kw = (dict(krylov_kwargs, rtol=s["eta"])
+                  if cfg.krylov_forcing == "ew" else krylov_kwargs)
             Minv = (Minv_lagged if Minv_lagged is not None
                     else precond_build(x, w_prev, dt))
             if residual_lowp is not None:
@@ -232,7 +236,7 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
                     _, jvp_fn = jax.linearize(
                         lambda u: residual_lowp(u, w_prev_lp, dt_lp), x_lp)
                 sol = krylov(jvp_fn, _cast(tr.neg(F), lowp), Minv=Minv,
-                             **krylov_kwargs)
+                             **kw)
                 d = _cast(sol.x, s["normF"].dtype)
                 res_norm64 = sol.res_norm.astype(s["normF"].dtype)
             else:
@@ -240,7 +244,7 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
                 # preconditioners may work internally in f32; keep the Krylov
                 # vectors in the solver dtype
                 Mc = (lambda M: lambda r: _cast(M(r), s["normF"].dtype))(Minv)
-                sol = krylov(jvp_fn, tr.neg(F), Minv=Mc, **krylov_kwargs)
+                sol = krylov(jvp_fn, tr.neg(F), Minv=Mc, **kw)
                 d = sol.x
                 res_norm64 = sol.res_norm
             sol = sol._replace(x=d, res_norm=res_norm64)
@@ -272,10 +276,22 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             # SNES DIVERGED_LINEAR_SOLVE on a truly stuck KSP.
             lin_useless = (~sol.converged) & (sol.res_norm > 0.1 * s["normF"])
             failed = (~jnp.isfinite(nn)) | (nn > cfg.newton_div_tol * n0) | lin_useless
-            return dict(x=xn, F=Fn, normF=nn, k=k,
-                        kiters=s["kiters"] + sol.iters,
-                        converged=converged, failed=failed,
-                        hist=s["hist"].at[k].set(nn))
+            out = dict(x=xn, F=Fn, normF=nn, k=k,
+                       kiters=s["kiters"] + sol.iters,
+                       converged=converged, failed=failed,
+                       hist=s["hist"].at[k].set(nn))
+            if cfg.krylov_forcing == "ew":
+                # EW choice 2 (alpha=2) with the standard safeguard: don't
+                # drop eta faster than gamma*eta_{k-1}^2 once that bound is
+                # active (>0.1), cap at eta_max, never looser than eta_max
+                # and never tighter than the fixed KSP rtol.
+                ratio = nn / jnp.maximum(s["normF"], 1e-300)
+                eta_raw = cfg.ew_gamma * ratio * ratio
+                safe = cfg.ew_gamma * s["eta"] * s["eta"]
+                eta_n = jnp.maximum(eta_raw, jnp.where(safe > 0.1, safe, 0.0))
+                eta_n = jnp.clip(eta_n, cfg.krylov_rtol, cfg.ew_eta_max)
+                out["eta"] = eta_n.astype(s["eta"].dtype)
+            return out
 
         out = lax.while_loop(cond, body, state0)
         converged = out["converged"] & ~out["failed"]

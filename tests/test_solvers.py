@@ -149,3 +149,36 @@ def test_elast_dense_direct_matches_beam_theory():
     euler = -3 * 1e-3 * 5.0**4 / (2 * 1e5 * 1.0**2) * (1 - 0.3**2)
     # short beam (L/H=5): shear deflection adds ~10% over Euler-Bernoulli
     assert abs(tip / euler - 1.0) < 0.25, (tip, euler)
+
+
+def test_ew_forcing_converges_with_fewer_krylov_iters():
+    """krylov_forcing='ew' (Eisenstat-Walker choice 2) must converge to the
+    same root as fixed-rtol Newton while spending fewer (or equal) Krylov
+    iterations — early Newton iterations stop their linear solves at
+    eta_k ~ gamma*(||F_k||/||F_{k-1}||)^2 instead of 1e-5."""
+    rng = np.random.default_rng(11)
+    n = 40
+    A = jnp.asarray(rng.standard_normal((n, n)) + 4.0 * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    def residual(u, u_prev, dt):
+        return A @ u + 0.5 * jnp.tanh(u) - b
+
+    results = {}
+    for forcing in ("fixed", "ew"):
+        cfg = SolverConfig(newton_atol=1e-10, newton_max_iters=30,
+                           krylov_rtol=1e-8, krylov_atol_frac=0.0,
+                           krylov_forcing=forcing, mixed_precision=False)
+        solve = make_newton_solver(residual, cfg,
+                                   lambda w, w0, dt: (lambda r: r))
+        x0 = jnp.zeros_like(b)
+        results[forcing] = solve(x0, x0, 1.0)
+        assert bool(results[forcing].converged)
+        assert float(results[forcing].res_norm) < 1e-7
+
+    np.testing.assert_allclose(np.asarray(results["ew"].x),
+                               np.asarray(results["fixed"].x),
+                               rtol=1e-6, atol=1e-8)
+    assert int(results["ew"].krylov_iters) <= int(
+        results["fixed"].krylov_iters), (
+        int(results["ew"].krylov_iters), int(results["fixed"].krylov_iters))

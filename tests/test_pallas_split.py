@@ -19,7 +19,7 @@ def _setup(nx):
     problem = make(nx=nx, ny=nx)
     g = problem.grid
     F = problem.n_fields
-    grids = build_hierarchy(g, min_cells=5)
+    grids = build_hierarchy(g, min_cells=3)
     assert len(grids) >= 3, [gl.ny for gl in grids]
     w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
     dt = jnp.asarray(0.5, jnp.float32)
@@ -42,7 +42,7 @@ def _setup(nx):
     return problem, grids, w, dt, pinvs, states, r
 
 
-@pytest.mark.parametrize("nx", [20, 45])  # 20-10-5 dyadic; 45-15-5 (R=3)
+@pytest.mark.parametrize("nx", [12, 27])  # 12-6-3 dyadic; 27-9-3 (R=3)
 def test_split_matches_whole_kernel(nx):
     problem, grids, w, dt, pinvs, states, r = _setup(nx)
     F = problem.n_fields
@@ -183,7 +183,7 @@ def test_gmg_uses_split_path_and_matches_unfused():
                                    rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("nx", [20, 45])  # dyadic pairs; R=3 general pairs
+@pytest.mark.parametrize("nx", [12, 27])  # dyadic pairs; R=3 general pairs
 def test_gmg_split_chain_matches_unfused(nx):
     """fuse_vcycle='split_chain': the whole descent and the whole ascent as
     ONE kernel each around the external dense coarse — must equal the plain
@@ -213,7 +213,7 @@ def test_gmg_split_chain_matches_unfused(nx):
         pv.make_fused_descend_chain = mk_d
         pv.make_fused_ascend_chain = mk_a
         build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
-                         use_pallas=True, min_cells=5,
+                         use_pallas=True, min_cells=3,
                          fuse_vcycle="split_chain")
         z = build(w, w, dt)(r)
     finally:
@@ -222,14 +222,14 @@ def test_gmg_split_chain_matches_unfused(nx):
     assert used["d"] == 1 and used["a"] == 1
 
     build_xla = make_gmg(g, problem.terms, F, dtype=jnp.float32,
-                         use_pallas=False, min_cells=5)
+                         use_pallas=False, min_cells=3)
     z_ref = build_xla(w, w, dt)(r)
     for a, b in zip(z, z_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("nx", [20, 45])  # dyadic pairs; R=3 general pairs
+@pytest.mark.parametrize("nx", [12, 27])  # dyadic pairs; R=3 general pairs
 def test_gmg_split_levels_matches_unfused(nx):
     """fuse_vcycle='split_levels': per-level descend/ascend kernels with the
     exact dense coarse solve outside — must equal the plain XLA V-cycle with
@@ -259,16 +259,16 @@ def test_gmg_split_levels_matches_unfused(nx):
         pv.make_fused_descend = mk_descend
         pv.make_fused_ascend = mk_ascend
         build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
-                         use_pallas=True, min_cells=5,
+                         use_pallas=True, min_cells=3,
                          fuse_vcycle="split_levels")
         z = build(w, w, dt)(r)
     finally:
         pv.make_fused_descend = orig_make_descend
         pv.make_fused_ascend = orig_make_ascend
-    assert used["descend"] == 2 and used["ascend"] == 2  # levels 20, 10
+    assert used["descend"] == 2 and used["ascend"] == 2  # levels 12/27, 6/9
 
     build_xla = make_gmg(g, problem.terms, F, dtype=jnp.float32,
-                         use_pallas=False, min_cells=5)
+                         use_pallas=False, min_cells=3)
     z_ref = build_xla(w, w, dt)(r)
     for a, b in zip(z, z_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

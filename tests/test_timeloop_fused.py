@@ -21,6 +21,18 @@ def test_run_fused_matches_host_loop_bench1():
     assert agg.retries == sum(s.retries for s in host.stats)
 
 
+def test_run_fused_matches_host_loop_bench1_3d():
+    """The 3D path through the fused whole-run driver (Kuhn-tet grid +
+    3D GMG): decision-for-decision parity with the host loop. The TPU-size
+    (50^3) fused program is exercised separately on hardware; this guards
+    the tracing path."""
+    problem = get_benchmark("bench1_3d", nx=12, ny=12, nz=12)
+    host = timeloop.run(problem, max_steps=6, verbose=False)
+    fused = timeloop.run_fused(problem, max_rows=6, allow_partial=True)
+    assert len(fused.rows) == len(host.rows)
+    np.testing.assert_allclose(fused.rows, host.rows, rtol=1e-13)
+
+
 def test_run_fused_matches_host_loop_bench6_dirichlet():
     problem = get_benchmark("bench6", nx=16, ny=16)
     host = timeloop.run(problem, max_steps=5, verbose=False)

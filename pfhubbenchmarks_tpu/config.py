@@ -104,6 +104,12 @@ class SolverConfig:
     # beyond anything a convergent solve needs.
     krylov_max_iters: int = 400
     gmres_restart: int = 30
+    # LGMRES-style augmented restarts for fgmres (solve/krylov.py): keep the
+    # last k restart-cycle error approximations and spend each later cycle's
+    # first k slots on them. Targets restart stall in the large-dt CH solves
+    # (30-991 iterations across many GMRES(30) cycles); augmented slots cost
+    # one J·v instead of a V-cycle apply. 0 = off.
+    fgmres_aug: int = 0
     # Run the Krylov solve (J.v, basis ops, preconditioner) in float32 while
     # Newton-level residuals/norms stay in the solver dtype. See
     # solve/newton.py. No effect when the solver dtype is already float32.

@@ -150,7 +150,7 @@ def gmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
 
 
 def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
-           maxiter=1000, reorthogonalize=False) -> KrylovResult:
+           maxiter=1000, reorthogonalize=False, n_aug=0) -> KrylovResult:
     """Flexible (right-preconditioned) restarted GMRES.
 
     Stores the preconditioned directions Z_k = M(v_k), so M may be a
@@ -158,6 +158,18 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
     V-cycle whose coarse level is itself an inner Krylov solve (solve/gmg.py).
     Convergence is on the true residual: ||b - Ax|| <= max(rtol*||b||, atol)
     (PETSc KSPFGMRES semantics).
+
+    ``n_aug > 0`` enables LGMRES-style augmentation (Baker/Jessup/Manteuffel
+    2005): a ring buffer keeps the last ``n_aug`` restart-cycle error
+    approximations z = x_new - x_old, and each later cycle spends its last
+    ``n_aug`` slots on them instead of preconditioned Arnoldi directions.
+    This targets restart stall — alternating/repeating residual directions
+    across GMRES(m) cycles — which is exactly the large-dt CH regime where
+    solves burn many restart cycles. In the flexible framework the Z slots
+    already hold arbitrary directions (x = x0 + Z y with A Z = V H̄ by
+    construction), so augmentation is just a different choice of z_k; the
+    least-squares machinery is unchanged. Augmented slots also skip the
+    V-cycle preconditioner: they cost ONE J·v instead of a full M⁻¹+matvec.
     """
     Minv = Minv or _identity
     x0 = x0 if x0 is not None else tr.zeros_like(b)
@@ -181,6 +193,10 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
     state0 = dict(x=x0, V=V0, Z=Z0, H=H0, cs=cs0, sn=sn0, g=g0, k=k0,
                   it=jnp.array(0, jnp.int32), res=beta0, cycle0=beta0,
                   done=beta0 <= tol)
+    if n_aug:
+        state0.update(aug=tr.basis_zeros(b, n_aug),
+                      n_valid=jnp.array(0, jnp.int32),
+                      aug_ptr=jnp.array(0, jnp.int32))
 
     def cond(s):
         return ~s["done"] & (s["it"] < maxiter)
@@ -192,11 +208,32 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
     def body(s):
         k = s["k"]
         vk = tr.basis_get(s["V"], k)
-        if minv_matvec is not None:
-            zk, w = minv_matvec(vk)
+
+        def from_prec(_):
+            if minv_matvec is not None:
+                return minv_matvec(vk)
+            z = Minv(vk)
+            return z, matvec(z)
+
+        if n_aug:
+            # Spend the cycle's LAST slots on the stored error
+            # approximations (ring slots 0..n_valid-1; ring order among them
+            # is irrelevant — the LS minimization is over the whole span).
+            # Ordering matters: the first m-k slots must stay the standard
+            # residual-seeded Arnoldi recursion — putting aug vectors first
+            # re-seeds the Krylov space from A·z_aug and measurably degrades
+            # per-cycle contraction (observed: monotone stall on a toy
+            # convection matrix with aug-first; LGMRES appends at the end).
+            def from_aug(_):
+                idx = jnp.clip(k - (m - jnp.minimum(s["n_valid"], n_aug)),
+                               0, n_aug - 1)
+                za = tr.basis_get(s["aug"], idx)
+                return za, matvec(za)
+
+            use_aug = k >= (m - jnp.minimum(s["n_valid"], n_aug))
+            zk, w = lax.cond(use_aug, from_aug, from_prec, None)
         else:
-            zk = Minv(vk)
-            w = matvec(zk)
+            zk, w = from_prec(None)
         Z = tr.basis_set(s["Z"], k, zk)
         mask = (jnp.arange(m + 1) <= k).astype(dtype)
         h1 = tr.basis_dots(s["V"], w) * mask
@@ -256,7 +293,8 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
                 return y.at[row].set(resid / Hm[row, row])
 
             y = lax.fori_loop(0, m, back_sub, jnp.zeros(m, dtype))
-            xn = tr.add(s["x"], tr.basis_comb(Z, y))
+            z_new = tr.basis_comb(Z, y)
+            xn = tr.add(s["x"], z_new)
             Vn, Zn, Hn, csn, snn, gn, kn, beta_n = init_cycle(xn)
             # Convergence is decided on beta_n — the TRUE residual
             # ||b - A x_n|| recomputed at the cycle end — not on the Givens
@@ -269,14 +307,33 @@ def fgmres(matvec, b, x0=None, Minv=None, *, restart=30, rtol=1e-5, atol=1e-50,
             # stalled: quit early instead of burning the full maxiter budget
             # (the Newton layer treats no-progress solves as dt failures).
             stalled = beta_n > 0.9 * s["cycle0"]
-            return dict(x=xn, V=Vn, Z=Zn, H=Hn, cs=csn, sn=snn, g=gn, k=kn,
-                        it=it, res=beta_n, cycle0=beta_n,
-                        done=(beta_n <= tol) | (it >= maxiter) | stalled)
+            out = dict(x=xn, V=Vn, Z=Zn, H=Hn, cs=csn, sn=snn, g=gn, k=kn,
+                       it=it, res=beta_n, cycle0=beta_n,
+                       done=(beta_n <= tol) | (it >= maxiter) | stalled)
+            if n_aug:
+                znorm = tr.norm(z_new)
+                ok_z = (znorm > 0) & jnp.isfinite(znorm)
+                aug = lax.cond(
+                    ok_z,
+                    lambda _: tr.basis_set(s["aug"], s["aug_ptr"],
+                                           tr.scale(tr.safe_inv(znorm), z_new)),
+                    lambda _: s["aug"], None)
+                out.update(aug=aug,
+                           aug_ptr=jnp.where(ok_z, (s["aug_ptr"] + 1) % n_aug,
+                                             s["aug_ptr"]),
+                           n_valid=jnp.where(
+                               ok_z, jnp.minimum(s["n_valid"] + 1, n_aug),
+                               s["n_valid"]))
+            return out
 
         def continue_cycle(_):
-            return dict(x=s["x"], V=V, Z=Z, H=H, cs=cs, sn=sn, g=g, k=k + 1,
-                        it=it, res=res, cycle0=s["cycle0"],
-                        done=jnp.array(False))
+            out = dict(x=s["x"], V=V, Z=Z, H=H, cs=cs, sn=sn, g=g, k=k + 1,
+                       it=it, res=res, cycle0=s["cycle0"],
+                       done=jnp.array(False))
+            if n_aug:
+                out.update(aug=s["aug"], aug_ptr=s["aug_ptr"],
+                           n_valid=s["n_valid"])
+            return out
 
         return lax.cond(end_cycle, finalize, continue_cycle, None)
 

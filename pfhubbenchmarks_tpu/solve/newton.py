@@ -121,6 +121,8 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
                          maxiter=cfg.krylov_max_iters, restart=cfg.gmres_restart)
     if cfg.krylov == "bicgstab":
         krylov_kwargs.pop("restart")
+    if cfg.krylov == "fgmres" and cfg.fgmres_aug:
+        krylov_kwargs["n_aug"] = cfg.fgmres_aug
 
     import jax.tree_util as jtu
 

@@ -182,3 +182,31 @@ def test_ew_forcing_converges_with_fewer_krylov_iters():
     assert int(results["ew"].krylov_iters) <= int(
         results["fixed"].krylov_iters), (
         int(results["ew"].krylov_iters), int(results["fixed"].krylov_iters))
+
+
+def test_fgmres_augmented_restart_matches_direct():
+    """fgmres(n_aug=k) — LGMRES-style augmented restarts — must converge to
+    the direct solution and not take more iterations than plain restarted
+    fgmres on a problem that needs several restart cycles (the augmentation
+    vectors recover cross-cycle information that restarting discards)."""
+    from pfhubbenchmarks_tpu.solve.krylov import fgmres
+
+    rng = np.random.default_rng(7)
+    n = 120
+    # moderately conditioned nonsymmetric system: several GMRES(8) cycles
+    A = jnp.asarray(np.diag(np.linspace(1.0, 80.0, n))
+                    + 2.0 * np.triu(rng.standard_normal((n, n)), 1)
+                    / np.sqrt(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    expect = np.linalg.solve(np.asarray(A), np.asarray(b))
+
+    base = fgmres(lambda v: A @ v, b, restart=8, rtol=1e-10, maxiter=2000)
+    assert bool(base.converged)
+    for k in (1, 2):
+        res = fgmres(lambda v: A @ v, b, restart=8, rtol=1e-10, maxiter=2000,
+                     n_aug=k)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), expect,
+                                   rtol=1e-6, atol=1e-8)
+        assert int(res.iters) <= int(base.iters), (
+            k, int(res.iters), int(base.iters))

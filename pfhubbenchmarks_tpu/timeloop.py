@@ -82,10 +82,21 @@ class Runner:
 
         # one device dispatch per solve attempt: the observables ride along
         # with the Newton solve instead of costing one round-trip each under
-        # the high-latency tunnel (VERDICT round 1, weak item 9)
+        # the high-latency tunnel (VERDICT round 1, weak item 9). All host-
+        # visible scalars are packed into ONE array so the host loop pays a
+        # single device->host fetch per attempt instead of 6-7 (measured
+        # r3: the tunneled 3D host loop spent ~0.7 s/step on scalar reads):
+        # packed = [newton_iters, converged, krylov_iters, res_norm, *obs]
+        import jax.numpy as jnp
+
         def step(w_guess, w_prev, dt):
             res = newton(w_guess, w_prev, dt)
-            return res, tuple(obs[c](res.x) for c in cols)
+            f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            packed = jnp.stack(
+                [res.iters.astype(f64), res.converged.astype(f64),
+                 res.krylov_iters.astype(f64), res.res_norm.astype(f64)]
+                + [obs[c](res.x).astype(f64) for c in cols])
+            return res, packed
 
         self.step = jax.jit(step)
         self._fused = {}
@@ -265,9 +276,10 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         retries = 0
         t = tprev + dt
         t_attempt = _time.time()
-        res, obs_vals = step_fn(w0, w0, dt)
-        niters = int(res.iters)
-        while not bool(res.converged):
+        res, pk = step_fn(w0, w0, dt)
+        pk = np.asarray(pk)  # ONE fetch: [iters, conv, krylov, |F|, *obs]
+        niters = int(pk[0])
+        while not pk[1]:
             if time_grid is not None:
                 # substep warm start: Newton can diverge from the cold
                 # (previous-state) guess at a replayed dt the reference
@@ -281,16 +293,17 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                     g = w0
                     ok = True
                     for _ in range(nsub):
-                        rs, _ = step_fn(g, g, dt / nsub)
-                        ok = ok and bool(rs.converged)
+                        rs, rpk = step_fn(g, g, dt / nsub)
+                        ok = ok and bool(np.asarray(rpk)[1])
                         g = rs.x
                     if not ok:
                         continue
                     warm = g
-                    res, obs_vals = step_fn(g, w0, dt)
-                    if bool(res.converged):
+                    res, pk = step_fn(g, w0, dt)
+                    pk = np.asarray(pk)
+                    if pk[1]:
                         break
-                if not bool(res.converged):
+                if not pk[1]:
                     # continuation in dt (fixed w0): each intermediate root
                     # seeds the next — unlike substepping, the guess chain
                     # homotopies to the ACTUAL dt-system root (bench2's
@@ -299,25 +312,28 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                     # kept as the last resort.
                     g = w0
                     for frac in (0.25, 0.5, 0.7, 0.85, 0.95, 1.0):
-                        res, obs_vals = step_fn(g, w0, frac * dt)
-                        if not bool(res.converged):
+                        res, pk = step_fn(g, w0, frac * dt)
+                        pk = np.asarray(pk)
+                        if not pk[1]:
                             break
                         g = res.x
-                if not bool(res.converged) and warm is not None:
+                if not pk[1] and warm is not None:
                     # damped Newton from the warm guess crosses the
                     # remaining gap (bench3's t=41.59 dt-fold)
                     x, conv, _ = runner.host_damped()(warm, w0, dt)
                     if conv:
                         # package through the production solver (0-1
                         # iterations from the root) for NewtonResult + obs
-                        res, obs_vals = step_fn(x, w0, dt)
-                if not bool(res.converged) and g is not None:
+                        res, pk = step_fn(x, w0, dt)
+                        pk = np.asarray(pk)
+                if not pk[1] and g is not None:
                     # last resort: damped Newton from the deepest
                     # continuation iterate
                     x, conv, _ = runner.host_damped()(g, w0, dt)
                     if conv:
-                        res, obs_vals = step_fn(x, w0, dt)
-                if not bool(res.converged) and replay_substep_fallback:
+                        res, pk = step_fn(x, w0, dt)
+                        pk = np.asarray(pk)
+                if not pk[1] and replay_substep_fallback:
                     # The dt-system can be unsolvable from OUR trajectory:
                     # bench3's t=41.59 step sits past a fold of the
                     # implicit-Euler branch (continuation turns at
@@ -329,26 +345,27 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                     g = w0
                     ok = True
                     for _ in range(2):
-                        rs, obs_sub = step_fn(g, g, dt / 2)
-                        ok = ok and bool(rs.converged)
+                        rs, rpk = step_fn(g, g, dt / 2)
+                        rpk = np.asarray(rpk)
+                        ok = ok and bool(rpk[1])
                         g = rs.x
                     if ok:
                         print(f"  replay step {step}: UNSOLVABLE at dt="
                               f"{dt:.6g} (branch fold); accepted as "
                               f"2x(dt/2) substeps")
-                        res, obs_vals = rs, obs_sub
+                        res, pk = rs, rpk
                         retries += 1
-                        niters = int(res.iters)
+                        niters = int(pk[0])
                         break
-                if bool(res.converged):
+                if pk[1]:
                     retries += 1  # recorded as a retry in StepStats
-                    niters = int(res.iters)
+                    niters = int(pk[0])
                     if verbose:
                         print(f"  replay step {step}: substep warm start")
                     break
                 if replay_partial:
                     print(f"{problem.name}: replay step {step} (t={t:.6g}) "
-                          f"did not converge (|F|={float(res.res_norm):.3e})"
+                          f"did not converge (|F|={float(pk[3]):.3e})"
                           f"; stopping with {len(rows)} rows")
                     return RunResult(rows=np.asarray(rows), stats=stats,
                                      state=w0,
@@ -356,18 +373,19 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                                      columns=problem.csv_columns)
                 raise RuntimeError(
                     f"{problem.name}: replay step {step} (t={t:.6g}) did not "
-                    f"converge; |F|={float(res.res_norm):.3e}")
+                    f"converge; |F|={float(pk[3]):.3e}")
             retries += 1
             if dt <= tc.dt_min * (1 + 1e-12) and retries > max_retries_at_dt_min:
                 raise RuntimeError(
                     f"{problem.name}: step {step} failed {retries} times at dt_min="
-                    f"{tc.dt_min}; |F|={float(res.res_norm):.3e}")
+                    f"{tc.dt_min}; |F|={float(pk[3]):.3e}")
             dt = max(0.5 * dt, tc.dt_min)
             t = tprev + dt
             if verbose:
                 print(f"  REPEATING step {step}. t={t:.6g} dt={dt:.6g}")
-            res, obs_vals = step_fn(w0, w0, dt)
-            niters = int(res.iters)
+            res, pk = step_fn(w0, w0, dt)
+            pk = np.asarray(pk)
+            niters = int(pk[0])
         w = res.x
         wall = _time.time() - t_attempt
         dt_used = dt
@@ -382,11 +400,11 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         if tc.dt_max is not None:
             dt = min(dt, tc.dt_max)
 
-        obs = [float(v) for v in obs_vals]
+        obs = [float(v) for v in pk[4:]]
         rows.append([t] + obs)
         st = StepStats(step=step, t=t, dt=dt_used, newton_iters=niters,
-                       krylov_iters=int(res.krylov_iters), retries=retries,
-                       res_norm=float(res.res_norm), wall=wall,
+                       krylov_iters=int(pk[2]), retries=retries,
+                       res_norm=float(pk[3]), wall=wall,
                        dt_next=dt, row=rows[-1])
         stats.append(st)
         if verbose:

@@ -26,3 +26,25 @@ def test_bench1_cli_end_to_end(tmp_path):
     assert len(stats.read_text().splitlines()) == 2
     assert (fields / "bench1.pvd").exists()
     assert (fields / "bench1_000001.vti").exists()
+
+
+def test_bench1_cli_f32_native(tmp_path):
+    """--f32 (f32-native throughput mode) must run with the rescaled
+    tolerances applied automatically — the f64 defaults sit below the f32
+    assembly's cancellation floor and fail the first step (regression:
+    the flag shipped without the rescale and died at dt_min)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "b1_f32.csv"
+    # production 100^2 grid: the rescaled tolerances are calibrated to the
+    # full-size residual scale (a tiny 8^2 grid's f32 floor sits above them)
+    cmd = [sys.executable, "-m", "pfhubbenchmarks_tpu.benchmarks.bench1",
+           "--f32", "--max-steps", "2", "--quiet", "--out", str(out)]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                       cwd=str(tmp_path), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = np.loadtxt(out, delimiter=",", skiprows=1)
+    assert rows.shape == (2, 3)
+    # solute conservation at f32 resolution
+    assert abs(rows[1, 2] - rows[0, 2]) / abs(rows[0, 2]) < 1e-5

@@ -44,6 +44,19 @@ def shard_state(w, mesh: Mesh):
     return tuple(jax.device_put(a, s) for a in w)
 
 
+def state_sharding3d(mesh: Mesh) -> NamedSharding:
+    """3D fields are [F, Z, Y, X]: shard Y over 'y', X over 'x', keep Z
+    local. A 2D device decomposition of the horizontal plane is the right
+    cut for pencil-shaped stencil halos (1-deep in y/x only); the z axis
+    stays contiguous for the Kuhn-tet slab kernels (ops/pallas3d.py)."""
+    return NamedSharding(mesh, P(None, None, "y", "x"))
+
+
+def shard_state3d(w, mesh: Mesh):
+    s = state_sharding3d(mesh)
+    return tuple(jax.device_put(a, s) for a in w)
+
+
 def shard_problem_fns(mesh: Mesh):
     """Sharding constraint function to apply inside jitted step functions."""
     s = state_sharding(mesh)

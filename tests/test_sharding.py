@@ -171,3 +171,35 @@ def test_periodic_newton_sharded_matches_single(mesh):
     assert bool(shard.converged)
     np.testing.assert_allclose(np.asarray(shard.x[0]), np.asarray(single.x[0]),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_3d_residual_and_newton_sharded_match_single(mesh):
+    """3D fields [F, Z, Y, X] shard over the same ('y','x') mesh with z
+    kept local (parallel/mesh.state_sharding3d); the Kuhn-tet shifted-slice
+    assembly and the 3D GMG stack must survive partitioning like 2D."""
+    from pfhubbenchmarks_tpu.parallel.mesh import shard_state3d, state_sharding3d
+
+    my, mx = mesh.devices.shape
+    problem = get_benchmark("bench1_3d", nx=12, ny=12, nz=12,
+                            pad_to=(1, my, mx))
+    res_fn = problem.residual()
+    w = problem.initial_state()
+    r_single = jax.jit(res_fn)(w, w, 0.1)
+
+    s = state_sharding3d(mesh)
+    ws = shard_state3d(w, mesh)
+    r_shard = jax.jit(res_fn, in_shardings=((s,), (s,), None))(ws, ws, 0.1)
+    np.testing.assert_allclose(np.asarray(r_shard[0]), np.asarray(r_single[0]),
+                               rtol=1e-13, atol=1e-14)
+
+    newton = make_newton_solver(res_fn, problem.solver,
+                                problem.precond_builder(), jit=False,
+                                residual_lowp=problem.residual_lowp())
+    single = jax.jit(newton)(w, w, 0.1)
+    assert bool(single.converged)
+    shard = jax.jit(newton, in_shardings=((s,), (s,), None))(ws, ws, 0.1)
+    assert int(single.iters) == int(shard.iters)
+    np.testing.assert_allclose(np.asarray(shard.x[0]), np.asarray(single.x[0]),
+                               rtol=1e-9, atol=1e-11)
+    # state stayed sharded (no silent gather-back to one device)
+    assert not shard.x[0].sharding.is_fully_replicated

@@ -264,3 +264,99 @@ def make_halo_functional(
         return mapped(w[0], w[1])
 
     return value
+
+
+def make_halo_residual3d(
+    grid,
+    terms: Callable,
+    n_fields: int,
+    mesh: Mesh,
+    dtype=jnp.float64,
+):
+    """3D explicit-halo residual: [F, Z, Y, X] blocks over ('y', 'x'), z
+    local (parallel/mesh.state_sharding3d). Single vertex grid, so there is
+    no vertex/cell alignment constraint — only Y/X divisibility. Same
+    ppermute schedule as 2D (3 forward pulls per state, 3 reverse pushes),
+    each line carrying a full z-pencil. Dirichlet faces are not handled
+    here (the 2D variant demonstrates owner-shard BC application; the
+    production auto-partitioned path covers 3D BCs).
+    """
+    from pfhubbenchmarks_tpu.fem.grid3d import _SLOT_XYZ
+
+    my, mx = mesh.devices.shape
+    Z, Y, X = grid.vshape
+    assert Y % my == 0 and X % mx == 0, (grid.vshape, mesh.devices.shape)
+    ly, lx = Y // my, X // mx
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+
+    tab = grid.tab()
+    Bq = jnp.asarray(tab.Bq, dtype)
+    Gs = jnp.asarray(tab.Gs, dtype)
+    WB = jnp.asarray(tab.wq[:, :, None] * tab.Bq, dtype)
+    WG = [jnp.asarray(tab.wq[:, :, None] * tab.Gs[:, None, :, d], dtype)
+          for d in range(3)]
+    full_shape = (len(tab.Bq), tab.nq, nz, ly, lx)
+
+    def _extend(vb):
+        """[F, Z, ly, lx] -> [F, Z, ly+1, lx+1] with y/x halo pencils."""
+        row = _pull_next(vb[:, :, 0:1, :], "y", my)
+        col = _pull_next(vb[:, :, :, 0:1], "x", mx)
+        cor = _pull_next(_pull_next(vb[:, :, 0:1, 0:1], "y", my), "x", mx)
+        top = jnp.concatenate([vb, row], axis=2)
+        side = jnp.concatenate([col, cor], axis=2)
+        return jnp.concatenate([top, side], axis=3)
+
+    def _slots(vext):
+        return jnp.stack([
+            vext[:, dz:nz + dz, dy:ly + dy, dx:lx + dx]
+            for (dx, dy, dz) in _SLOT_XYZ], axis=0)  # [8, F, nz, ly, lx]
+
+    def _eval(loc):
+        uq = jnp.einsum("tqs,sfzyx->ftqzyx", Bq, loc)
+        du = jnp.einsum("tsd,sfzyx->fdtzyx", Gs, loc)[:, :, :, None]
+        u_t = tuple(uq[i] for i in range(n_fields))
+        du_t = tuple((du[i, 0], du[i, 1], du[i, 2]) for i in range(n_fields))
+        return u_t, du_t
+
+    def local_residual(vb, v0b, dt):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        oy, ox = iy * ly, ix * lx
+
+        u_t, du_t = _eval(_slots(_extend(vb)))
+        u0_t, du0_t = _eval(_slots(_extend(v0b)))
+        ctx = QPContext(u=u_t, du=du_t, u0=u0_t, du0=du0_t, dt=dt)
+        source, flux = terms(ctx)
+        src = jnp.stack([jnp.broadcast_to(s, full_shape) for s in source], 0)
+        r_loc = jnp.einsum("tqs,ftqzyx->sfzyx", WB, src)
+        for d in range(3):
+            fd = jnp.stack([jnp.broadcast_to(f[d], full_shape)
+                            for f in flux], 0)
+            r_loc = r_loc + jnp.einsum("tqs,ftqzyx->sfzyx", WG[d], fd)
+        cell_valid = (((oy + jnp.arange(ly)) < ny)[:, None]
+                      & ((ox + jnp.arange(lx)) < nx)[None, :])
+        r_loc = jnp.where(cell_valid, r_loc, 0.0)
+
+        rv_ext = 0.0
+        for s, (dx, dy, dz) in enumerate(_SLOT_XYZ):
+            rv_ext = rv_ext + jnp.pad(
+                r_loc[s],
+                ((0, 0), (dz, Z - nz - dz), (dy, 1 - dy), (dx, 1 - dx)))
+        rv = rv_ext[:, :, :ly, :lx]
+        rv = rv.at[:, :, 0:1, :].add(
+            _push_next(rv_ext[:, :, ly:, :lx], "y", my))
+        rv = rv.at[:, :, :, 0:1].add(
+            _push_next(rv_ext[:, :, :ly, lx:], "x", mx))
+        rv = rv.at[:, :, 0:1, 0:1].add(
+            _push_next(_push_next(rv_ext[:, :, ly:, lx:], "y", my), "x", mx))
+        return rv
+
+    spec = P(None, None, "y", "x")
+    mapped = jax.shard_map(
+        local_residual, mesh=mesh, in_specs=(spec, spec, P()),
+        out_specs=spec)
+
+    def residual(w, w0, dt):
+        return (mapped(w[0], w0[0], jnp.asarray(dt, dtype)),)
+
+    return residual

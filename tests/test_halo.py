@@ -114,3 +114,33 @@ def test_halo_functional_matches_global(mesh):
         a = float(f_g(w))
         b = float(f_h(ws))
         np.testing.assert_allclose(b, a, rtol=1e-12), name
+
+
+def test_halo3d_residual_and_jvp_match_global(mesh):
+    """3D explicit-halo residual: y/x halo pencils with z local must match
+    the global Kuhn-tet assembly, including under jvp."""
+    from pfhubbenchmarks_tpu.parallel.halo import make_halo_residual3d
+    from pfhubbenchmarks_tpu.parallel.mesh import shard_state3d
+
+    my, mx = mesh.devices.shape
+    problem = get_benchmark("bench1_3d", nx=12, ny=12, nz=12,
+                            pad_to=(1, my, mx))
+    res_global = problem.residual()
+    res_halo = make_halo_residual3d(problem.grid, problem.terms,
+                                    problem.n_fields, mesh)
+    w = problem.initial_state()
+    ws = shard_state3d(w, mesh)
+    r_g = jax.jit(res_global)(w, w, 0.1)
+    r_h = jax.jit(res_halo)(ws, ws, 0.1)
+    np.testing.assert_allclose(np.asarray(r_h[0]), np.asarray(r_g[0]),
+                               rtol=1e-12, atol=1e-13)
+
+    key = jax.random.PRNGKey(1)
+    tv = (0.01 * jax.random.normal(key, w[0].shape, w[0].dtype),)
+    tvs = shard_state3d(tv, mesh)
+    g = jax.jit(lambda v: jax.jvp(
+        lambda u: res_global(u, w, 0.1), (w,), (v,))[1])(tv)
+    h = jax.jit(lambda v: jax.jvp(
+        lambda u: res_halo(u, ws, 0.1), (ws,), (v,))[1])(tvs)
+    np.testing.assert_allclose(np.asarray(h[0]), np.asarray(g[0]),
+                               rtol=1e-11, atol=1e-12)

@@ -52,6 +52,9 @@ def main(name: str, argv=None) -> None:
     ap.add_argument("--ny", type=int, default=None)
     ap.add_argument("--nz", type=int, default=None, help="3D benchmarks only")
     ap.add_argument("--f32", action="store_true", help="float32 state (perf mode)")
+    ap.add_argument("--mesh", type=str, default=None, metavar="MYxMX",
+                    help="shard the run over a MYxMX device mesh "
+                         "(spatial domain decomposition, e.g. 2x4)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--replay", type=str, default=None, metavar="CSV",
                     help="replay the time grid of a reference CSV (column 0) "
@@ -90,7 +93,19 @@ def main(name: str, argv=None) -> None:
 
         kwargs["dtype"] = jnp.float32
 
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = tuple(int(v) for v in args.mesh.lower().split("x"))
+        if len(mesh_shape) != 2:
+            raise SystemExit(f"--mesh wants MYxMX, got {args.mesh!r}")
+
     problem = get_benchmark(name, **kwargs)
+    if mesh_shape is not None:
+        # rebuild with mesh-divisible padded storage (2D: both grids;
+        # 3D: the horizontal plane, z local — parallel/mesh.py)
+        is3d = problem.initial_state()[0].ndim == 4
+        kwargs["pad_to"] = ((1, *mesh_shape) if is3d else mesh_shape)
+        problem = get_benchmark(name, **kwargs)
     if args.f32:
         # f32-native state needs f32-reachable tolerances: the f64 defaults
         # (newton_atol 1e-6, SNES rtol 1e-8) sit below the f32 assembly's
@@ -133,6 +148,18 @@ def main(name: str, argv=None) -> None:
     def on_step(stats, state):
         for h in hooks:
             h(stats, state)
+
+    if mesh_shape is not None:
+        # shard the starting state (fresh or checkpoint-restored); the
+        # jitted step keeps it sharded end-to-end (tests/test_sharding.py
+        # multistep test asserts no silent gather-back)
+        from pfhubbenchmarks_tpu.parallel.mesh import (
+            make_device_mesh, shard_state, shard_state3d)
+
+        mesh = make_device_mesh(shape=mesh_shape)
+        w0 = resume_kwargs.get("state0") or problem.initial_state()
+        sharder = shard_state3d if w0[0].ndim == 4 else shard_state
+        resume_kwargs["state0"] = sharder(w0, mesh)
 
     from pfhubbenchmarks_tpu.utils.observability import profile
 

@@ -23,11 +23,47 @@ results/bench1_out.csv, plus solute conservation drift.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 BASELINE_BM1_8RANK_SECONDS = 60.0
 REF_CSV = "/root/reference/results/bench1_out.csv"
+
+
+def supervise(cmd, attempts: int = 3, timeout_s: float = 2700.0,
+              retry_wait_s: float = 75.0, metric: str = "",
+              _sleep=time.sleep) -> dict:
+    """Run ``cmd`` (a child process that prints the result JSON as its last
+    stdout line) with retries, and ALWAYS return a result dict.
+
+    The measured run talks to a remote TPU worker that can crash mid-run or
+    be down outright (observed: multi-hour outages where backend init fails
+    after ~1500 s; kernel-heavy runs occasionally killing the worker, which
+    recovers in ~1 min — CLAUDE.md environment notes). bench.py's contract
+    with the driver is ONE JSON line, unattended; a worker crash must
+    surface as a JSON line with an "error" field, not a dead process.
+    """
+    errors = []
+    for attempt in range(attempts):
+        if attempt:
+            _sleep(retry_wait_s)
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {attempt}: timeout after {timeout_s:g}s")
+            continue
+        for line in reversed(p.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    break
+        tail = (p.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+        errors.append(f"attempt {attempt}: rc={p.returncode} {tail[-300:]}")
+    return {"metric": metric, "value": None, "unit": "seconds",
+            "vs_baseline": None, "error": "; ".join(errors)}
 
 
 def main() -> None:
@@ -126,4 +162,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        # Supervisor path (what the driver invokes): the measured run goes in
+        # a child process so a TPU-worker crash can be retried; jax is only
+        # imported in the child (never two TPU processes at once).
+        print(json.dumps(supervise(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            metric="bench1_wall_clock_to_final_time")))

@@ -74,3 +74,31 @@ def test_bench1_cli_mesh_sharded(tmp_path):
     # also checks padding-size independence of the trajectory.
     np.testing.assert_allclose(rows[:, 0], rows1[:, 0], rtol=0)
     np.testing.assert_allclose(rows, rows1, rtol=1e-9)
+
+
+def test_bench_supervisor_retries_and_always_emits_json():
+    """bench.py's supervisor must return a result dict on flaky-child
+    success (retry) and an error dict when every attempt dies — the
+    driver's one-JSON-line contract (worker crashes mid-run happen)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    # child fails on first run, succeeds on second (state via a temp file)
+    import tempfile
+    marker = tempfile.mktemp()
+    flaky = [sys.executable, "-c",
+             "import os,sys,json\n"
+             f"m = {marker!r}\n"
+             "if not os.path.exists(m):\n"
+             "    open(m,'w').close(); sys.exit(7)\n"
+             "print('noise line')\n"
+             "print(json.dumps({'metric': 'x', 'value': 1.5}))"]
+    out = bench.supervise(flaky, attempts=3, retry_wait_s=0.0, timeout_s=30,
+                          metric="x")
+    assert out == {"metric": "x", "value": 1.5}
+
+    dead = [sys.executable, "-c", "import sys; sys.exit(3)"]
+    out = bench.supervise(dead, attempts=2, retry_wait_s=0.0, timeout_s=30,
+                          metric="m")
+    assert out["value"] is None and "rc=3" in out["error"]
+    assert out["metric"] == "m"

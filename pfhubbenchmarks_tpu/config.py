@@ -97,6 +97,15 @@ class SolverConfig:
     ew_eta0: float = 0.3
     ew_eta_max: float = 0.9
     ew_gamma: float = 0.9
+    # dt-gated forcing: EW applies only to solves with dt >= ew_dt_min;
+    # below it the fixed KSP rtol is used. Rationale (measured, r3): the
+    # SNES-count-calibrated adaptive prefix (report_atol) is walked at small
+    # dt, where solves are cheap (~10 Krylov iters/Newton) and full EW
+    # perturbs the controller's decisions off the reference grid (bench1
+    # matched rows 21 -> 13); the Krylov cost concentrates at large dt
+    # (30-45 iters/Newton at dt >= 12.8). Gating keeps the calibrated
+    # prefix bit-identical while cutting the expensive tail. 0 = ungated.
+    ew_dt_min: float = 0.0
     # Sized so that marginal solves (the ones that decide whether a dt step
     # is accepted) get the same chance as the reference's 1000-iteration SOR
     # budget (dolfin/bench1.py:110) — a premature linear "failure" halves dt

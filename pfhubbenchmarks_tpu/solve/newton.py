@@ -226,8 +226,16 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
 
         def body(s):
             x, F = s["x"], s["F"]
-            kw = (dict(krylov_kwargs, rtol=s["eta"])
-                  if cfg.krylov_forcing == "ew" else krylov_kwargs)
+            if cfg.krylov_forcing == "ew":
+                # dt-gated forcing (config.ew_dt_min): below the gate use the
+                # fixed KSP rtol (controller-parity regime), above it the EW
+                # eta. dt may be traced (fused driver), so select with where.
+                eta = s["eta"] if not cfg.ew_dt_min else jnp.where(
+                    jnp.asarray(dt, s["eta"].dtype) >= cfg.ew_dt_min,
+                    s["eta"], jnp.asarray(cfg.krylov_rtol, s["eta"].dtype))
+                kw = dict(krylov_kwargs, rtol=eta)
+            else:
+                kw = krylov_kwargs
             Minv = (Minv_lagged if Minv_lagged is not None
                     else precond_build(x, w_prev, dt))
             if residual_lowp is not None:

@@ -184,6 +184,42 @@ def test_ew_forcing_converges_with_fewer_krylov_iters():
         int(results["ew"].krylov_iters), int(results["fixed"].krylov_iters))
 
 
+def test_ew_dt_gate_selects_forcing_by_dt():
+    """ew_dt_min gates EW by timestep: solves at dt below the gate must be
+    BIT-IDENTICAL to fixed-rtol forcing (the controller-parity regime —
+    same Krylov counts, same iterates), and solves at dt above the gate
+    must match ungated EW. Sized so fixed vs EW genuinely differ."""
+    rng = np.random.default_rng(11)
+    n = 40
+    A = jnp.asarray(rng.standard_normal((n, n)) + 4.0 * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+
+    def residual(u, u_prev, dt):
+        return dt * (A @ u + 0.5 * jnp.tanh(u)) - b
+
+    def solver(**kw):
+        cfg = SolverConfig(newton_atol=1e-10, newton_max_iters=30,
+                           krylov_rtol=1e-8, krylov_atol_frac=0.0,
+                           mixed_precision=False, **kw)
+        return make_newton_solver(residual, cfg,
+                                  lambda w, w0, dt: (lambda r: r))
+
+    x0 = jnp.zeros_like(b)
+    gated = solver(krylov_forcing="ew", ew_dt_min=1.0)
+    fixed = solver(krylov_forcing="fixed")
+    ew = solver(krylov_forcing="ew")
+
+    below_g, below_f = gated(x0, x0, 0.5), fixed(x0, x0, 0.5)
+    np.testing.assert_array_equal(np.asarray(below_g.x), np.asarray(below_f.x))
+    assert int(below_g.krylov_iters) == int(below_f.krylov_iters)
+
+    above_g, above_e = gated(x0, x0, 2.0), ew(x0, x0, 2.0)
+    np.testing.assert_array_equal(np.asarray(above_g.x), np.asarray(above_e.x))
+    assert int(above_g.krylov_iters) == int(above_e.krylov_iters)
+    # sanity: the two regimes actually differ (the gate is doing something)
+    assert int(above_e.krylov_iters) != int(fixed(x0, x0, 2.0).krylov_iters)
+
+
 def test_fgmres_augmented_restart_matches_direct():
     """fgmres(n_aug=k) — LGMRES-style augmented restarts — must converge to
     the direct solution and not take more iterations than plain restarted

@@ -107,11 +107,21 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         # gmg_coarse_sweeps 8: the fused kernel is serial-depth bound and
         # the 12^2 coarse plateaus by 8 LMR sweeps — 24 was pure wasted
         # depth (r3 TPU: wall 2.30 -> 2.09 s, krylov/trajectory identical)
+        # dt-gated Eisenstat–Walker (r3 CPU full-trajectory lab,
+        # .scratch/ew_gated_chain.log): EW 0.1/0.3 above dt=5 keeps the full
+        # 21-row SNES-calibrated matched prefix bit-identical (fixed forcing
+        # below the gate) and the curve inside the committed bounds (interp
+        # 2.69e-3 < 3e-3) while cutting accepted Krylov 8124 -> 5306 (-35%).
+        # Ungated EW breaks the prefix (matched 21 -> 13); gate at 10 saves
+        # less (6089). Replay runs override back to fixed forcing
+        # (timeloop.run replay_forcing), so parity artifacts are unaffected.
         **{"solver": SolverConfig(line_search="basic", report_atol=2.6e-5,
                                   gmg_nu_pre=3, gmg_nu_post=3,
                                   precond_rule="dunavant2",
                                   krylov_atol_frac=0.1,
-                                  gmg_coarse_sweeps=8),
+                                  gmg_coarse_sweeps=8,
+                                  krylov_forcing="ew", ew_eta0=0.1,
+                                  ew_eta_max=0.3, ew_dt_min=5.0),
            **overrides},
     )
 

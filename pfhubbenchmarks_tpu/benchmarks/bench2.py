@@ -143,6 +143,13 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=100.0, grow_threshold=5),
         # precond_rule dunavant1 (1-pt rule): preconditioner-only; measured
         # newton counts identical, krylov 589 -> 593 over 5 steps (r3 lab)
+        # Eisenstat–Walker forcing REJECTED here (r3 CPU full-trajectory
+        # lab): ungated EW 0.01/0.03 breaks the matched prefix (13 < 28
+        # rows); dt-gated 0.1/0.3 at dt>=1 keeps the bounds but the looser
+        # early Newton steps push the controller onto a 146-step trajectory
+        # with krylov 12142 vs 8729 fixed (+39%) — bench2's cost is spread
+        # over many mid-dt steps, not concentrated in a large-dt tail like
+        # bench1's (.scratch/ew_gated_chain.log, ew_traj_b2.log).
         solver=SolverConfig(line_search="cp", precond_rule="dunavant1",
                             # 0.1 probed on TPU: identical 126-step / 583-
                             # Newton trajectory, krylov 8729 -> 8042

@@ -98,6 +98,14 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         # ceiling transparently; on-grid TFE rel-err 4.9e-7.
         time=TimeConfig(dt0=1e-2, dt_min=1e-4, end_time=3.0, grow_threshold=5,
                         dt_max=0.32),
+        # Eisenstat–Walker forcing REJECTED here (r3 CPU full-trajectory
+        # lab, .scratch/ew_chain_g2.log): dt-gated EW 0.01/0.03 at the 0.32
+        # cap walks the same 14/14 rows with Krylov -28%, but degrades the
+        # adaptive walk's TFE parity 4.9e-7 -> 4.2e-6 — bench6 is the one
+        # benchmark holding the 1e-6-class curve target on BOTH adaptive
+        # and replay artifacts, and at 0.76 s wall the ~0.2 s saving isn't
+        # worth trading that away (ungated EW is worse still: golden-row
+        # 2.3e-6).
         solver=SolverConfig(line_search="cp", krylov_max_iters=300),
         dirichlet_spec=dirichlet_spec,
         **overrides,

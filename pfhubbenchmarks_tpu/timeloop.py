@@ -231,6 +231,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         state0=None, t0: float | None = None, dt0: float | None = None,
         step0: int = 0, time_grid=None, replay_partial: bool = False,
         replay_substep_fallback: bool = False,
+        replay_forcing: str | None = "fixed",
         on_step: Callable[[StepStats, tuple], None] | None = None,
         _runner: "Runner | None" = None) -> RunResult:
     """Run a benchmark to final time; returns the CSV rows + per-step stats.
@@ -242,7 +243,21 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
     parity. Nonconvergence in replay mode (after the warm-start/continuation
     rescue ladder) is an error — or, with ``replay_partial``, ends the run
     with the rows accumulated so far (the grid would desync past it).
+
+    ``replay_forcing``: Krylov forcing used in replay mode (default
+    ``'fixed'``). Replay exists to measure solve-accuracy parity, so
+    Eisenstat–Walker forcing — an adaptive-walk throughput feature that
+    trades linear-solve accuracy where Newton doesn't need it — is
+    overridden to the fixed KSP rtol here (measured: bench6 replay TFE
+    4.1e-7 fixed vs 4.8e-6 under its production EW setting). Pass ``None``
+    to keep the problem's configured forcing (e.g. to measure EW's replay
+    footprint itself).
     """
+    if (time_grid is not None and replay_forcing is not None
+            and _runner is None
+            and problem.solver.krylov_forcing != replay_forcing):
+        problem = dataclasses.replace(problem, solver=dataclasses.replace(
+            problem.solver, krylov_forcing=replay_forcing))
     tc = problem.time
     if end_time is None:
         # a replayed grid may overshoot the nominal end_time (the reference's

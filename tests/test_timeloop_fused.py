@@ -66,6 +66,40 @@ def test_replay_reproduces_adaptive_trajectory():
     np.testing.assert_allclose(replay.rows, adaptive.rows, rtol=1e-12)
 
 
+def test_replay_overrides_ew_forcing_to_fixed(monkeypatch):
+    """Replay mode measures solve-accuracy parity, so timeloop.run must
+    silently swap Eisenstat–Walker forcing back to the fixed KSP rtol
+    (measured on bench6: replay TFE 4.1e-7 fixed vs 4.8e-6 EW). An
+    EW-configured problem replayed over a grid therefore lands on the
+    fixed-forcing rows bit-for-bit; replay_forcing=None keeps EW."""
+    import dataclasses
+
+    built = []
+    real_runner = timeloop.Runner
+
+    def spy(problem, *a, **k):
+        built.append(problem.solver.krylov_forcing)
+        return real_runner(problem, *a, **k)
+
+    monkeypatch.setattr(timeloop, "Runner", spy)
+    problem = get_benchmark("bench1", nx=16, ny=16)
+    adaptive = timeloop.run(problem, max_steps=5, verbose=False)
+    grid = adaptive.rows[:, 0]
+    fixed_problem = dataclasses.replace(problem, solver=dataclasses.replace(
+        problem.solver, krylov_forcing="fixed"))
+    fixed_replay = timeloop.run(fixed_problem, time_grid=grid, verbose=False)
+    ew_problem = dataclasses.replace(problem, solver=dataclasses.replace(
+        problem.solver, krylov_forcing="ew", ew_eta0=0.3, ew_eta_max=0.9))
+    ew_replay = timeloop.run(ew_problem, time_grid=grid, verbose=False)
+    np.testing.assert_array_equal(ew_replay.rows, fixed_replay.rows)
+    # the escape hatch: replay_forcing=None keeps the problem's EW forcing
+    timeloop.run(ew_problem, time_grid=grid, verbose=False,
+                 replay_forcing=None)
+    # adaptive walk keeps the problem's (gated-EW) forcing; both replays
+    # were rebuilt at fixed forcing; the escape hatch kept EW
+    assert built == ["ew", "fixed", "fixed", "ew"]
+
+
 def test_run_fused_bench3_abort_device_matches_host():
     """bench3's TFE<0 abort has a device-side twin, so the fused driver
     reproduces the host loop including the abort semantics."""

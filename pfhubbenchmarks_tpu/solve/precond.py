@@ -297,7 +297,23 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
         JT = jax.lax.map(chunk_rows, jnp.arange(nchunks))
         J = JT.reshape(nchunks * chunk, n)[:n].T
         d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
-        A = jnp.linalg.inv(J * d[:, None])
+        # Column-chunked inverse: jnp.linalg.inv lowers to an LU solve
+        # against the FULL n x n identity, whose blocked triangular-solve
+        # temps ([~n, n] f32, dozens live under remat) OOM the TPU's HBM at
+        # elast's n=10522 (measured: first TPU exposure of this path).
+        # Factor once, then back-substitute `chunk` identity columns at a
+        # time under lax.map — peak temp [n, chunk] instead of [n, n].
+        from jax.scipy.linalg import lu_factor, lu_solve
+
+        lu_piv = lu_factor(J * d[:, None])
+
+        def inv_cols(i):
+            cols = i * chunk + jnp.arange(chunk)
+            rhs = (jnp.arange(n)[:, None] == cols[None, :]).astype(dtype)
+            return lu_solve(lu_piv, rhs).T   # [chunk, n] = rows of A^T
+
+        AT = jax.lax.map(inv_cols, jnp.arange(nchunks))
+        A = AT.reshape(nchunks * chunk, n)[:n].T
 
         def Minv(r):
             return unflatten(A @ (d * flatten(r)))

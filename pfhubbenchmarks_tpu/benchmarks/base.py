@@ -21,6 +21,48 @@ from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
 from pfhubbenchmarks_tpu.solve.precond import BUILDERS
 
 
+def is_multidevice_state(state) -> bool:
+    """True if any leaf of ``state`` is sharded across more than one device."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(state):
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is not None and len(sharding.device_set) > 1:
+            return True
+    return False
+
+
+def gate_pallas_for_state(problem, state):
+    """Resolve ``use_pallas='auto'`` to OFF when the state is sharded.
+
+    The production Pallas paths (whole-array fused V-cycle, tiled sweeps,
+    fused J.v) are whole-array ``pallas_call``s: handing them operands
+    sharded over a device mesh makes XLA all-gather every input per call —
+    a silent cliff the reference's MPI+SOR stack doesn't have (it degrades
+    gracefully under partitioning, dolfinx/pfbase/pde_problems.py:150-161).
+    Multi-chip runs therefore use the pure-XLA assembly/V-cycle, which the
+    SPMD partitioner shards properly (tests/test_sharding.py).
+
+    Returns ``(problem, regated)``; ``regated`` means the solver config was
+    replaced and any Runner built from the old problem must be rebuilt.
+    Explicit ``use_pallas='on'`` with a sharded state is a hard error.
+    """
+    if not is_multidevice_state(state):
+        return problem, False
+    s = problem.solver
+    if s.use_pallas == "on":
+        raise ValueError(
+            f"{problem.name}: use_pallas='on' with a state sharded over "
+            ">1 device — whole-array Pallas kernels would force a gather "
+            "per call. Use use_pallas='auto' (resolves off under sharding) "
+            "or run single-device.")
+    if s.use_pallas == "off" or not problem._pallas_backend_ok():
+        return problem, False
+    gated = dataclasses.replace(problem, solver=dataclasses.replace(
+        s, use_pallas="off"))
+    return gated, True
+
+
 @dataclasses.dataclass
 class BenchmarkProblem:
     name: str

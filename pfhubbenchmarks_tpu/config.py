@@ -104,8 +104,14 @@ class SolverConfig:
     # perturbs the controller's decisions off the reference grid (bench1
     # matched rows 21 -> 13); the Krylov cost concentrates at large dt
     # (30-45 iters/Newton at dt >= 12.8). Gating keeps the calibrated
-    # prefix bit-identical while cutting the expensive tail. 0 = ungated.
-    ew_dt_min: float = 0.0
+    # prefix bit-identical while cutting the expensive tail. 0 = ungated
+    # DELIBERATELY; None (the default) = unset — flipping krylov_forcing to
+    # 'ew' without choosing a gate warns loudly and runs ungated, because
+    # ungated EW was MEASURED to break controller parity on every benchmark
+    # that tried it (bench1 matched rows 21 -> 13, bench2 28 -> 13; round-3
+    # session G labs). Benchmarks that ship EW set their calibrated gate
+    # explicitly (benchmarks/bench1.py: 5.0).
+    ew_dt_min: float | None = None
     # Sized so that marginal solves (the ones that decide whether a dt step
     # is accepted) get the same chance as the reference's 1000-iteration SOR
     # budget (dolfin/bench1.py:110) — a premature linear "failure" halves dt

@@ -114,6 +114,15 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
     emulated (~2x slower per op and a far bigger compiled program).
     """
     krylov = SOLVERS[cfg.krylov]
+    if cfg.krylov_forcing == "ew" and cfg.ew_dt_min is None:
+        import warnings
+
+        warnings.warn(
+            "krylov_forcing='ew' with no ew_dt_min gate: ungated EW was "
+            "measured to break adaptive-controller parity (bench1 matched "
+            "rows 21->13, bench2 28->13 — round-3 labs). Set ew_dt_min to a "
+            "calibrated gate (bench1 uses 5.0) or to 0.0 to silence this "
+            "warning and run ungated.", stacklevel=2)
     # inexact-Newton truncation floor (config.SolverConfig.krylov_atol_frac):
     # don't solve linear systems decades below the nonlinear tolerance
     krylov_atol = max(cfg.krylov_atol, cfg.krylov_atol_frac * cfg.newton_atol)

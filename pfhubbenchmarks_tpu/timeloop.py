@@ -264,10 +264,27 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         # final step does); follow the grid to its last row
         end_time = (float(time_grid[-1]) if time_grid is not None
                     else tc.end_time)
-    runner = _runner or Runner(problem)
-    step_fn = runner.step
-
     w = problem.initial_state() if state0 is None else state0
+    if state0 is not None:
+        from pfhubbenchmarks_tpu.benchmarks.base import gate_pallas_for_state
+
+        problem, regated = gate_pallas_for_state(problem, w)
+        if regated:
+            _runner = None  # any caller-built Runner carries the Pallas paths
+    runner = _runner or Runner(problem)
+
+    # count EVERY solve attempt's Krylov work (retries, warm starts,
+    # continuation chains), not just the accepted attempt's: wall-per-
+    # iteration metrics must divide by everything that ran (round-2 VERDICT
+    # weak 8; the fused driver already reports this as krylov_iters_all)
+    _kry_all = [0]
+
+    def step_fn(a, b, c, _inner=runner.step):
+        r, p = _inner(a, b, c)
+        p = np.asarray(p)
+        _kry_all[0] += int(p[2])
+        return r, p
+
     t = tc.t0 if t0 is None else t0
     dt = tc.dt0 if dt0 is None else dt0
 
@@ -289,6 +306,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         tprev = t
         w0 = w
         retries = 0
+        _kry_all[0] = 0
         t = tprev + dt
         t_attempt = _time.time()
         res, pk = step_fn(w0, w0, dt)
@@ -420,7 +438,8 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         st = StepStats(step=step, t=t, dt=dt_used, newton_iters=niters,
                        krylov_iters=int(pk[2]), retries=retries,
                        res_norm=float(pk[3]), wall=wall,
-                       dt_next=dt, row=rows[-1])
+                       dt_next=dt, row=rows[-1],
+                       krylov_iters_all=_kry_all[0])
         stats.append(st)
         if verbose:
             obs_str = ", ".join(f"{c}={v:.10g}" for c, v in zip(problem.csv_columns[1:], obs))
@@ -467,10 +486,16 @@ def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
                          "(BenchmarkProblem.abort_device) to honor "
                          "abort_condition; use timeloop.run")
     end_time = tc.end_time if end_time is None else end_time
+    w_init = problem.initial_state() if state0 is None else state0
+    if state0 is not None:
+        from pfhubbenchmarks_tpu.benchmarks.base import gate_pallas_for_state
+
+        problem, regated = gate_pallas_for_state(problem, w_init)
+        if regated:
+            _runner = None  # any caller-built Runner carries the Pallas paths
     runner = _runner or Runner(problem)
     drive = runner.fused_drive(max_rows, max_retries_at_dt_min)
 
-    w_init = problem.initial_state() if state0 is None else state0
     t_init = tc.t0 if t0 is None else t0
     dt_init = tc.dt0 if dt0 is None else dt0
 

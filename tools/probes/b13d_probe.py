@@ -1,6 +1,6 @@
 """bench1_3d perf probes.
 
-Usage: python .scratch/b13d_probe.py host|fused
+Usage: python tools/probes/b13d_probe.py host|fused
   host  — re-time the host loop (now with the packed single-fetch scalar
           read, session E); r2 measured 387 s with ~46% host overhead.
   fused — retry the fused whole-run driver at 50^3 (compile crashed the

@@ -1,7 +1,7 @@
 """bench1 fused wall at a given FGMRES restart width (session-G scan redo,
 this time as direct TPU wall measurements under the gated-EW default).
 
-Usage: python .scratch/b1restart_probe.py <restart>
+Usage: python tools/probes/b1restart_probe.py <restart>
 """
 import dataclasses, os, sys, time
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

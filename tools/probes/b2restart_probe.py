@@ -1,6 +1,6 @@
 """bench2 fused wall at a given FGMRES restart width.
 
-Usage: python .scratch/b2restart_probe.py <restart>
+Usage: python tools/probes/b2restart_probe.py <restart>
 """
 import dataclasses, os, sys, time
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,6 +1,6 @@
 """bench3 Eisenstat-Walker forcing probe on TPU (the one open EW verdict).
 
-Usage: python .scratch/b3ew_probe.py <ew_dt_min | fixed>
+Usage: python tools/probes/b3ew_probe.py <ew_dt_min | fixed>
 Runs the fused production path, prints wall + iteration totals + trajectory
 bounds vs the reference CSV (bounds: prefix>=14, interp TFE<=2e-4).
 """

@@ -32,5 +32,8 @@ def agg_counts(result):
                     retries=a.retries)
     return dict(newton=sum(s.newton_iters for s in st),
                 krylov=sum(s.krylov_iters for s in st),
-                krylov_all=sum(s.krylov_iters for s in st),
+                # host StepStats now carries per-step all-attempt totals;
+                # fall back to the accepted count for pre-round-4 results
+                krylov_all=sum((s.krylov_iters_all or s.krylov_iters)
+                               for s in st),
                 steps=len(st), retries=sum(s.retries for s in st))

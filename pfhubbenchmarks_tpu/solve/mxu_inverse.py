@@ -1,0 +1,154 @@
+"""Dense matrix inversion from pure MXU matmuls + VPU scans.
+
+Why this exists: on TPU, ``jnp.linalg.inv`` / ``lu_factor`` / ``lu_solve``
+lower to XLA's LU + TriangularSolve, and XLA's internal expanders emit
+their block dots at DEFAULT precision — bf16 MXU passes that
+``jax_default_matmul_precision=highest`` does NOT reach (the flag only
+covers dots JAX itself emits; the same failure mode as the documented
+f32-einsum collapse, CLAUDE.md). For a well-conditioned matrix that loses
+a few digits; for elast's thin-beam Jacobian (cond ~1e6 after row
+equilibration) it destroys the inverse: measured on the v5e,
+``||J M r - r||/||r||`` = 1.55e-1 — less than one digit per application,
+~100x worse than the same build on CPU LAPACK — and elast's Newton
+stalled at its first step, |F| floored at 1.2e-3 (chain_r15/chain_r16
+probe logs).
+
+This module re-implements LAPACK's getri shape with ONLY
+``jnp.dot(..., precision=HIGHEST)`` (true-f32 MXU passes) and unblocked
+``lax.scan`` kernels (VPU rank-1 / substitution steps, exact f32):
+
+  1. recursive blocked LU without pivoting (factors kept, packed),
+  2. recursive triangular inversions of L (unit-lower) and U,
+  3. inv(M) = inv(U) @ inv(L).
+
+The substitution structure matters: a first attempt used the partitioned
+Schur-complement INVERSE recursion (inv from block inverses), whose
+forward error compounds like cond^2 — measured residual 3.4 at cond 1e6
+vs LAPACK f32's 7.5e-4 on the same matrix (tests/test_mxu_inverse.py
+keeps that case). The getri shape stays eps*cond-class.
+
+No pivoting: correct for the row-equilibrated FEM Jacobians this repo
+inverts (symmetric-positive-definite stiffness cores with identity
+Dirichlet rows — every leading principal minor nonsingular, bounded
+Gauss growth). Not a general-purpose inverse.
+
+All recursion is traced statically (depth log2(n/base)); total cost is a
+small multiple of one n^3 matmul.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_HI)
+
+
+def _lu_unblocked(A):
+    """Packed no-pivot LU by rank-1 scan: strict lower = L, upper = U."""
+    n = A.shape[0]
+    idx = jnp.arange(n)
+
+    def step(M, k):
+        below = idx > k
+        mult = jnp.where(below, M[:, k] / M[k, k], 0.0)
+        rowU = jnp.where(idx >= k, M[k], 0.0)
+        M = M - mult[:, None] * rowU[None, :]
+        return M.at[:, k].set(jnp.where(below, mult, M[:, k])), None
+
+    F, _ = jax.lax.scan(step, A, jnp.arange(n))
+    return F
+
+
+def _inv_upper_unblocked(F):
+    """inv of the upper triangle of packed F, by back-substitution scan."""
+    n = F.shape[0]
+    U = jnp.triu(F)
+    idx = jnp.arange(n)
+
+    def step(X, k):
+        row = jnp.where(idx > k, U[k], 0.0)
+        x = ((idx == k).astype(U.dtype) - _dot(row, X)) / U[k, k]
+        return X.at[k].set(x), None
+
+    X, _ = jax.lax.scan(step, jnp.zeros_like(U), jnp.arange(n - 1, -1, -1))
+    return X
+
+
+def _inv_unit_lower_unblocked(F):
+    """inv of the unit-lower triangle of packed F, forward substitution."""
+    n = F.shape[0]
+    L = jnp.tril(F, -1)
+    idx = jnp.arange(n)
+
+    def step(X, k):
+        row = jnp.where(idx < k, L[k], 0.0)
+        x = (idx == k).astype(L.dtype) - _dot(row, X)
+        return X.at[k].set(x), None
+
+    X, _ = jax.lax.scan(step, jnp.zeros_like(L), jnp.arange(n))
+    return X
+
+
+def _split(n, base):
+    """Largest multiple of ``base`` at or below n/2 (n is a multiple)."""
+    return max(base, (n // 2) // base * base)
+
+
+def _lu(A, base):
+    if A.shape[0] <= base:
+        return _lu_unblocked(A)
+    m = _split(A.shape[0], base)
+    F11 = _lu(A[:m, :m], base)
+    U12 = _dot(_inv_unit_lower(F11, base), A[:m, m:])
+    L21 = _dot(A[m:, :m], _inv_upper(F11, base))
+    F22 = _lu(A[m:, m:] - _dot(L21, U12), base)
+    return jnp.concatenate(
+        [jnp.concatenate([F11, U12], axis=1),
+         jnp.concatenate([L21, F22], axis=1)], axis=0)
+
+
+def _inv_upper(F, base):
+    if F.shape[0] <= base:
+        return _inv_upper_unblocked(F)
+    m = _split(F.shape[0], base)
+    X11 = _inv_upper(F[:m, :m], base)
+    X22 = _inv_upper(F[m:, m:], base)
+    X12 = -_dot(X11, _dot(F[:m, m:], X22))
+    return jnp.concatenate(
+        [jnp.concatenate([X11, X12], axis=1),
+         jnp.concatenate([jnp.zeros_like(F[m:, :m]), X22], axis=1)], axis=0)
+
+
+def _inv_unit_lower(F, base):
+    if F.shape[0] <= base:
+        return _inv_unit_lower_unblocked(F)
+    m = _split(F.shape[0], base)
+    X11 = _inv_unit_lower(F[:m, :m], base)
+    X22 = _inv_unit_lower(F[m:, m:], base)
+    X21 = -_dot(X22, _dot(F[m:, :m], X11))
+    return jnp.concatenate(
+        [jnp.concatenate([X11, jnp.zeros_like(F[:m, m:])], axis=1),
+         jnp.concatenate([X21, X22], axis=1)], axis=0)
+
+
+def mxu_inverse(M, base: int = 256):
+    """inv(M) for square M; see module docstring for scope + stability."""
+    n = M.shape[0]
+    npad = -(-n // base) * base if n > base else n
+    if npad != n:
+        # pad to a block multiple with an identity tail: the factorization
+        # and both triangular inverses are block-diagonal across the pad,
+        # so the top-left n x n of the padded inverse IS inv(M)
+        M = jnp.concatenate(
+            [jnp.concatenate([M, jnp.zeros((n, npad - n), M.dtype)], axis=1),
+             jnp.concatenate([jnp.zeros((npad - n, n), M.dtype),
+                              jnp.eye(npad - n, dtype=M.dtype)], axis=1)],
+            axis=0)
+    F = _lu(M, base)
+    A = _dot(_inv_upper(F, base), _inv_unit_lower(F, base))
+    return A[:n, :n]

@@ -297,23 +297,34 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
         JT = jax.lax.map(chunk_rows, jnp.arange(nchunks))
         J = JT.reshape(nchunks * chunk, n)[:n].T
         d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
-        # Column-chunked inverse: jnp.linalg.inv lowers to an LU solve
-        # against the FULL n x n identity, whose blocked triangular-solve
-        # temps ([~n, n] f32, dozens live under remat) OOM the TPU's HBM at
-        # elast's n=10522 (measured: first TPU exposure of this path).
-        # Factor once, then back-substitute `chunk` identity columns at a
-        # time under lax.map — peak temp [n, chunk] instead of [n, n].
-        from jax.scipy.linalg import lu_factor, lu_solve
+        if jax.default_backend() == "cpu":
+            # LAPACK path, column-chunked: inv's blocked triangular-solve
+            # temps against the full n x n identity ([~n, n] f32, dozens
+            # live under remat) blow memory at elast's n=10522; factor
+            # once and back-substitute `chunk` identity columns under
+            # lax.map — peak temp [n, chunk].
+            from jax.scipy.linalg import lu_factor, lu_solve
 
-        lu_piv = lu_factor(J * d[:, None])
+            lu_piv = lu_factor(J * d[:, None])
 
-        def inv_cols(i):
-            cols = i * chunk + jnp.arange(chunk)
-            rhs = (jnp.arange(n)[:, None] == cols[None, :]).astype(dtype)
-            return lu_solve(lu_piv, rhs).T   # [chunk, n] = rows of A^T
+            def inv_cols(i):
+                cols = i * chunk + jnp.arange(chunk)
+                rhs = (jnp.arange(n)[:, None] == cols[None, :]).astype(dtype)
+                return lu_solve(lu_piv, rhs).T   # [chunk, n] = rows of A^T
 
-        AT = jax.lax.map(inv_cols, jnp.arange(nchunks))
-        A = AT.reshape(nchunks * chunk, n)[:n].T
+            AT = jax.lax.map(inv_cols, jnp.arange(nchunks))
+            A = AT.reshape(nchunks * chunk, n)[:n].T
+        else:
+            # TPU (and anything without LAPACK custom calls): XLA expands
+            # LU/TriangularSolve with DEFAULT-precision block dots — bf16
+            # MXU passes the jax_default_matmul_precision flag does not
+            # reach. At elast's cond ~1e6 that returned a <1-digit inverse
+            # (measured ||J M r - r||/||r|| = 1.55e-1, chain_r16) and
+            # Newton stalled. mxu_inverse is pure HIGHEST-precision
+            # matmuls + VPU Gauss-Jordan scans.
+            from pfhubbenchmarks_tpu.solve.mxu_inverse import mxu_inverse
+
+            A = mxu_inverse(J * d[:, None])
 
         def Minv(r):
             return unflatten(A @ (d * flatten(r)))

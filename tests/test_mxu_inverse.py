@@ -1,0 +1,79 @@
+"""mxu_inverse: the pure-matmul dense inverse used on TPU (solve/mxu_inverse).
+
+Checks the Schur-recursion inverse against LAPACK f64 on the matrix class
+it is specified for — row-equilibrated SPD stiffness cores with identity
+Dirichlet rows — including an elast-like cond ~1e6 case, where the f32
+result must be LAPACK-f32-class (the whole point: XLA's own LU/
+TriangularSolve expansion loses ~2 decades on TPU; see module docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfhubbenchmarks_tpu.solve.mxu_inverse import mxu_inverse
+
+
+def _spd_with_bc_rows(n, cond, n_bc, seed=0):
+    """Random SPD with spread eigenvalues + identity rows (Dirichlet)."""
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.geomspace(1.0 / cond, 1.0, n)
+    M = (Q * lam) @ Q.T
+    bc = rng.choice(n, size=n_bc, replace=False)
+    M[bc] = 0.0
+    M[bc, bc] = 1.0
+    # row equilibration, as make_dense_precond applies before inverting
+    d = 1.0 / np.abs(M).max(axis=1)
+    return d[:, None] * M
+
+
+@pytest.mark.parametrize("n", [7, 256, 300, 517])
+def test_matches_lapack_well_conditioned(n):
+    M = _spd_with_bc_rows(n, cond=1e3, n_bc=max(1, n // 20), seed=n)
+    A = np.asarray(mxu_inverse(jnp.asarray(M, jnp.float32), base=128))
+    # residual quality ||M A - I||
+    R = M @ A.astype(np.float64) - np.eye(n)
+    assert np.abs(R).max() < 1e-3, np.abs(R).max()
+
+
+def test_elast_class_conditioning_beats_bf16_floor():
+    """cond ~1e6 (elast's regime): the f32 Schur inverse must deliver the
+    ~LAPACK-f32 preconditioner quality the dense-direct design assumes
+    (~1e-3-class application residual), not the 1.6e-1 measured from
+    XLA's expander on TPU."""
+    n = 700
+    M = _spd_with_bc_rows(n, cond=1e6, n_bc=30, seed=3)
+    A = np.asarray(mxu_inverse(jnp.asarray(M, jnp.float32), base=128))
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(n)
+    err = np.linalg.norm(M @ (A.astype(np.float64) @ r) - r) / np.linalg.norm(r)
+    # LAPACK f32 inv on the same matrix for scale: partial pivoting +
+    # in-place panels buy it ~1 decade (measured: 7.5e-4 vs our 1.3e-2);
+    # what the dense-direct design needs is contraction << 1 per
+    # Richardson application (solve/precond.py elast note), with f64
+    # Newton as the refinement loop — 1.3e-2 gives reduction ~3e-8 over
+    # the 4-iteration budget.
+    A32 = np.linalg.inv(M.astype(np.float32))
+    err_lapack = np.linalg.norm(M @ (A32.astype(np.float64) @ r) - r) / np.linalg.norm(r)
+    assert err < 30 * max(err_lapack, 1e-5), (err, err_lapack)
+    assert err < 5e-2, err
+
+
+def test_f64_path():
+    """f64 input -> f64-quality inverse (TPU f64 is emulated but exact)."""
+    n = 300
+    M = _spd_with_bc_rows(n, cond=1e6, n_bc=10, seed=7)
+    A = np.asarray(mxu_inverse(jnp.asarray(M, jnp.float64), base=128))
+    R = M @ A - np.eye(n)
+    assert np.abs(R).max() < 1e-9, np.abs(R).max()
+
+
+def test_jit_and_odd_split():
+    """jit-compiles; n < base falls straight to the Gauss-Jordan scan."""
+    n = 90
+    M = _spd_with_bc_rows(n, cond=10.0, n_bc=4, seed=1)
+    f = jax.jit(lambda x: mxu_inverse(x, base=128))
+    A = np.asarray(f(jnp.asarray(M, jnp.float32)))
+    assert np.abs(M @ A.astype(np.float64) - np.eye(n)).max() < 1e-4

@@ -58,6 +58,6 @@ from pfhubbenchmarks_tpu.solve.newton import make_newton_solver
 solve = make_newton_solver(pb.residual(), pb.solver, build)
 t0 = time.time()
 out = solve(w, w, dt)
-print(f"newton: conv={bool(out.converged)} iters={int(out.newton_iters)} "
+print(f"newton: conv={bool(out.converged)} iters={int(out.iters)} "
       f"krylov={int(out.krylov_iters)} |F|={float(out.res_norm):.3e} "
       f"({time.time()-t0:.1f}s)")

@@ -129,7 +129,19 @@ def make_dense_coarse(g: CrossedTriGrid, residual_c, n_fields: int, dtype):
         # FGMRES). inv(D J) with D = 1/max|row| keeps only the physical
         # conditioning; J^{-1} b = inv(DJ) (D b).
         d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
-        A = jnp.linalg.inv(J * d[:, None])
+        if jax.default_backend() == "cpu":
+            A = jnp.linalg.inv(J * d[:, None])
+        else:
+            # XLA's LU/TriangularSolve expansion runs its block dots at
+            # DEFAULT precision on TPU (bf16 MXU passes) — measured to
+            # return a <1-digit inverse at elast scale and to wreck the
+            # coarse correction here too: bench1 split_chain with a 25^2
+            # dense coarse through jnp.linalg.inv walked 87570 Krylov
+            # iters vs 6034 (chain_r16). mxu_inverse is matmul-only at
+            # precision=HIGHEST (solve/mxu_inverse.py).
+            from pfhubbenchmarks_tpu.solve.mxu_inverse import mxu_inverse
+
+            A = mxu_inverse(J * d[:, None])
         return A, d
 
     def solve(Jinv, b):

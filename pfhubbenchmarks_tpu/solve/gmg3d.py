@@ -134,7 +134,13 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
             J = jax.jacfwd(lambda x: _flat(
                 res_c(_unflat(x), w0l, dtl)))(_flat(wl))
             d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
-            return jnp.linalg.inv(J * d[:, None]), d
+            if jax.default_backend() == "cpu":
+                return jnp.linalg.inv(J * d[:, None]), d
+            # TPU: jnp.linalg.inv expands through DEFAULT-precision (bf16)
+            # block dots — measured <1-digit inverses (solve/mxu_inverse.py)
+            from pfhubbenchmarks_tpu.solve.mxu_inverse import mxu_inverse
+
+            return mxu_inverse(J * d[:, None]), d
 
         def _dc_solve(Jinv, b):
             A, d = Jinv

@@ -503,6 +503,12 @@ def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
     out = drive(w_init, jnp.asarray(t_init, jnp.float64),
                 jnp.asarray(dt_init, jnp.float64),
                 jnp.asarray(end_time, jnp.float64))
+    # ONE device->host transfer for the whole result dict: the scalar
+    # reads below each cost a full tunnel round-trip otherwise — measured
+    # as most of bench6's 0.35 s wall-vs-device-busy gap (r4 trace:
+    # device 0.405 s, wall 0.76 s). The state lands as numpy; JAX
+    # re-devices it transparently if a caller steps from it.
+    out = jax.device_get(out)
     n = int(out["nrows"])
     if bool(out["stalled"]):
         raise RuntimeError(

@@ -84,19 +84,36 @@ def make(nx: int = 250, ny: int = 10, Lx: float = 25.0, Ly: float = 1.0,
         custom_observables={"tip_deflection": tip_deflection},
         csv_columns=("time", "strain_energy", "tip_deflection"),
         time=TimeConfig(t0=0.0, dt0=1.0, end_time=0.5, dt_min=1.0),
-        # Dense MXU direct solve + Newton-as-iterative-refinement: the
-        # thin beam is compliance-dominated (||A||·||u||/||b|| ~ 1e6), so
-        # (a) smoother-based V-cycles flatline in the residual norm (the
+        # Dense MXU inverse + full-f64 FGMRES: the thin beam is
+        # compliance-dominated (||A||·||u||/||b|| ~ 1e6), so (a)
+        # smoother-based V-cycles flatline in the residual norm (the
         # reference's SOR did too — "SOR was causing problems",
         # dolfin/elast.py:83 — and it fell back to hypre AMG), and (b) ANY
         # f32 Krylov path floors at eps32·||A||·||u|| ~ 2e-5, far above
-        # KSP rtol·||b||. The f32 row-equilibrated dense inverse
-        # (solve/precond.make_dense_precond) gives ~3 digits per
-        # application; Richardson at a loose rtol accepts it and the f64
-        # Newton loop is the iterative refinement that reaches atol=1e-6.
-        solver=SolverConfig(line_search="basic", newton_max_iters=8,
-                            precond="dense", krylov="richardson",
-                            krylov_rtol=0.2, krylov_max_iters=4),
+        # KSP rtol·||b||. The row-equilibrated dense inverse
+        # (solve/precond.make_dense_precond; Newton–Schulz-refined
+        # mxu_inverse on TPU) is applied as a PRECONDITIONER under f64
+        # FGMRES rather than as a Richardson quasi-direct solve: at
+        # cond ~1e6 an f32 factor carries a tail of amplified error modes
+        # (measured 1.6e-1 application residual on the v5e pre-refinement,
+        # chain_r19 — Newton-as-refinement floored at |F| ~ 1.2e-3 through
+        # 61 dt-retries) on which any stationary iteration stalls, while
+        # GMRES spends ~one basis vector per outlier mode and converges
+        # regardless of M's quality tail. mixed_precision=False: the
+        # problem is linear — one emulated-f64 J·v at 10.5k dofs per
+        # iteration is negligible — and it removes the f32 Krylov
+        # cancellation floor (the build dtype follows the Krylov dtype, so
+        # the factor itself is f64-emulated on TPU: eps64-class M, FGMRES
+        # converges in a handful of iterations).
+        # precond_lag='solve': the problem is LINEAR — J never changes —
+        # so the dense factor+refinement is built once per solve, not per
+        # Newton iteration (the refinement's f64-emulated matmuls are the
+        # dominant build cost on TPU).
+        solver=SolverConfig(line_search="basic", newton_max_iters=4,
+                            precond="dense", krylov="fgmres",
+                            mixed_precision=False, krylov_rtol=1e-8,
+                            krylov_max_iters=100, gmres_restart=50,
+                            precond_lag="solve"),
         dirichlet_spec=(
             (0, "left", lambda y: 0.0 * y),
             (1, "left", lambda y: 0.0 * y),

@@ -321,13 +321,23 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
             # reach. At elast's cond ~1e6 that returned a <1-digit inverse
             # (measured ||J M r - r||/||r|| = 1.55e-1, chain_r16) and
             # Newton stalled. mxu_inverse is pure HIGHEST-precision
-            # matmuls + VPU Gauss-Jordan scans.
-            from pfhubbenchmarks_tpu.solve.mxu_inverse import mxu_inverse
+            # matmuls + VPU Gauss-Jordan scans; on the REAL elast Jacobian
+            # its f32 no-pivot factor still measured 1.6e-1 (chain_r19),
+            # so the factor is ONLY a Newton–Schulz seed: 3 f64-emulated
+            # refinement passes (2 n^3 matmuls each, one-time build cost)
+            # square that to a direct-solve-grade f64 inverse
+            # (mxu_inverse.refine_inverse; measured 2e-11 application
+            # residual on the cond-1e6 test class). The f32 factorization
+            # keeps the recursive program small; the f64 work is 7 plain
+            # matmuls.
+            from pfhubbenchmarks_tpu.solve.mxu_inverse import (
+                mxu_inverse, refine_inverse)
 
-            A = mxu_inverse(J * d[:, None])
+            Jd = J * d[:, None]
+            A = refine_inverse(Jd, mxu_inverse(Jd.astype(jnp.float32)))
 
         def Minv(r):
-            return unflatten(A @ (d * flatten(r)))
+            return unflatten((A @ (d * flatten(r))).astype(dtype))
 
         return Minv
 

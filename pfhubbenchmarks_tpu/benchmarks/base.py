@@ -90,6 +90,13 @@ class BenchmarkProblem:
     # non-integral observables: name -> fn(state) -> scalar (e.g. point
     # samples via fem/sample.py)
     custom_observables: dict[str, Callable] = dataclasses.field(default_factory=dict)
+    # fused-driver segmentation hint: None = whole run as ONE dispatch
+    # (the 2D benchmarks, <= ~12 s device time); an int = drive fused runs
+    # in segments of this many accepted steps (timeloop.run_fused_segmented)
+    # because one whole-run dispatch exceeds what the remote TPU worker
+    # tolerates (bench1_3d at 50³ crashes it DURING the run — with and
+    # without Pallas — while a ~48 s dispatch completes; chain_r19).
+    fused_seg_rows: typing.Optional[int] = None
 
     @property
     def n_fields(self) -> int:

@@ -41,6 +41,8 @@ class Benchmark3DProblem:
     dtype: type = jnp.float64
     abort_condition: object = None
     custom_observables: dict = dataclasses.field(default_factory=dict)
+    # see BenchmarkProblem.fused_seg_rows (benchmarks/base.py)
+    fused_seg_rows: object = None
 
     @property
     def n_fields(self) -> int:
@@ -192,6 +194,12 @@ def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
         # the 2D count-parity objection doesn't apply.
         solver=SolverConfig(line_search="basic", precond="gmg",
                             precond_rule="keast2", fast_residual=True),
+        # one whole-run dispatch at 50³ crashes the remote TPU worker
+        # during execution (with AND without Pallas — chain_r19 bisect);
+        # a ~48 s dispatch completes, so fused runs go in 4-step segments
+        # (timeloop.run_fused_segmented; host pays one ~2 MB state
+        # round-trip per segment instead of one dispatch per attempt)
+        fused_seg_rows=4,
         **overrides,
     )
 

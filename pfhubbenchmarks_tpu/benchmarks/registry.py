@@ -169,10 +169,18 @@ def main(name: str, argv=None) -> None:
             if hooks:
                 raise SystemExit("--fused excludes --checkpoint/--stats-log/"
                                  "--save-fields (per-step host hooks)")
-            result = timeloop.run_fused(
-                problem, end_time=args.end_time,
-                max_rows=args.max_steps or 512,
-                allow_partial=args.max_steps is not None, **resume_kwargs)
+            seg = getattr(problem, "fused_seg_rows", None)
+            if seg and not resume_kwargs:
+                # bounded-device-time segments (see base.fused_seg_rows)
+                result = timeloop.run_fused_segmented(
+                    problem, end_time=args.end_time, seg_rows=seg,
+                    max_rows=args.max_steps or 512)
+            else:
+                result = timeloop.run_fused(
+                    problem, end_time=args.end_time,
+                    max_rows=args.max_steps or 512,
+                    allow_partial=args.max_steps is not None,
+                    **resume_kwargs)
         else:
             time_grid = None
             if args.replay:

@@ -122,6 +122,9 @@ class Runner:
     def run_fused(self, **kwargs) -> "RunResult":
         return run_fused(self.problem, _runner=self, **kwargs)
 
+    def run_fused_segmented(self, **kwargs) -> "RunResult":
+        return run_fused_segmented(self.problem, _runner=self, **kwargs)
+
     def fused_drive(self, max_rows: int, max_retries_at_dt_min: int):
         """Compiled whole-run driver (see run_fused); cached per row-buffer
         size so warm-up and timed runs share one executable. ``end_time``
@@ -537,4 +540,67 @@ def run_fused(problem: BenchmarkProblem, *, end_time: float | None = None,
                     krylov_iters_all=int(out["krylov_iters_all"]))
     return RunResult(rows=rows, stats=[agg], state=out["w"],
                      wall_total=_time.time() - wall_start,
+                     columns=problem.csv_columns)
+
+
+def run_fused_segmented(problem: BenchmarkProblem, *,
+                        end_time: float | None = None, seg_rows: int = 4,
+                        max_rows: int = 512,
+                        max_retries_at_dt_min: int = 60,
+                        _runner: "Runner | None" = None) -> RunResult:
+    """The fused adaptive run in bounded-device-time segments.
+
+    Why: one whole-run dispatch works for the 2D benchmarks (≤ ~12 s of
+    device time) but the 50³ bench1_3d program CRASHES the remote TPU
+    worker DURING EXECUTION — compile + a 2-step warm-up succeed, the
+    full-length run dies, and so does the same program with Pallas
+    disabled (chain_r19 b13d_noplas/b13d_full), so it is a
+    long-running-dispatch limit of the worker, not a kernel bug. A
+    smaller 3D case runs 47.6 s in one dispatch fine (b13d_small).
+
+    So: drive the SAME compiled fused program (one trace, cached per
+    ``seg_rows``) repeatedly, each dispatch capped at ``seg_rows``
+    accepted steps via the row buffer + ``allow_partial``, resuming from
+    the returned (state, t, dt). Host cost is one state round-trip per
+    segment — for bench1_3d's 50³ 2-field f64 state that is ~2 MB every
+    ``seg_rows`` steps, against the host loop's one dispatch + packed
+    fetch per solve ATTEMPT (measured 46% of its 387 s wall, r2).
+
+    ``max_retries_at_dt_min`` is per-segment (the fail counter resets at
+    segment boundaries); stall detection still fires inside a segment.
+    """
+    tc = problem.time
+    end_time = tc.end_time if end_time is None else end_time
+    runner = _runner or Runner(problem)
+    rows_parts, t, dt, w = [], tc.t0, tc.dt0, None
+    agg = None
+    wall_start = _time.time()
+    nrows = 0
+    while t < end_time - _EPS and nrows < max_rows:
+        res = run_fused(problem, end_time=end_time,
+                        max_rows=min(seg_rows, max_rows - nrows),
+                        max_retries_at_dt_min=max_retries_at_dt_min,
+                        state0=w, t0=t, dt0=dt, allow_partial=True,
+                        _runner=runner)
+        if len(res.rows) == 0:
+            raise RuntimeError(
+                f"{problem.name}: fused segment at t={t:.6g} accepted no "
+                f"step (dt={dt:.3g})")
+        rows_parts.append(res.rows)
+        nrows += len(res.rows)
+        s = res.stats[0]
+        t, dt, w = s.t, s.dt, res.state
+        if agg is None:
+            agg = s
+        else:
+            agg = dataclasses.replace(
+                agg, step=agg.step + s.step, t=s.t, dt=s.dt,
+                newton_iters=agg.newton_iters + s.newton_iters,
+                krylov_iters=agg.krylov_iters + s.krylov_iters,
+                retries=agg.retries + s.retries,
+                newton_iters_all=agg.newton_iters_all + s.newton_iters_all,
+                krylov_iters_all=agg.krylov_iters_all + s.krylov_iters_all)
+    agg = dataclasses.replace(agg, wall=_time.time() - wall_start)
+    return RunResult(rows=np.concatenate(rows_parts, axis=0), stats=[agg],
+                     state=w, wall_total=_time.time() - wall_start,
                      columns=problem.csv_columns)

@@ -119,3 +119,30 @@ def test_run_fused_rejects_host_only_abort_condition():
     problem = dataclasses.replace(problem, abort_device=None)
     with pytest.raises(ValueError):
         timeloop.run_fused(problem, max_rows=2)
+
+
+def test_run_fused_segmented_matches_whole_run():
+    """Segmented fused driver (bounded-device-time dispatches, resuming
+    from (state, t, dt) — the 50^3 bench1_3d path where one whole-run
+    dispatch crashes the remote worker): identical rows, state, and
+    iteration totals to the single-dispatch fused run."""
+    problem = get_benchmark("bench1", nx=16, ny=16)
+    whole = timeloop.run_fused(problem, max_rows=9, allow_partial=True)
+    seg = timeloop.run_fused_segmented(problem, seg_rows=4, max_rows=9)
+    assert len(seg.rows) == len(whole.rows)
+    np.testing.assert_allclose(seg.rows, whole.rows, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(seg.state[0]),
+                               np.asarray(whole.state[0]), rtol=1e-12)
+    a, b = seg.stats[0], whole.stats[0]
+    assert (a.newton_iters, a.krylov_iters, a.krylov_iters_all) == \
+        (b.newton_iters, b.krylov_iters, b.krylov_iters_all)
+
+
+def test_run_fused_segmented_3d():
+    """3D segmented run reaches end_time and matches the host loop rows
+    (the production shape: bench1_3d driven in segments)."""
+    problem = get_benchmark("bench1_3d", nx=12, ny=12, nz=12)
+    host = timeloop.run(problem, max_steps=6, verbose=False)
+    seg = timeloop.run_fused_segmented(problem, seg_rows=3, max_rows=6)
+    n = min(len(seg.rows), len(host.rows))
+    np.testing.assert_allclose(seg.rows[:n], host.rows[:n], rtol=1e-13)

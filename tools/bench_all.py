@@ -71,15 +71,25 @@ for spec in names:
     runner = timeloop.Runner(pb)
     use_fused = fused and (pb.abort_condition is None
                            or getattr(pb, "abort_device", None) is not None)
+    seg = getattr(pb, "fused_seg_rows", None)
     t0 = time.time()
     if use_fused:
-        runner.run_fused(end_time=pb.time.t0 + 2.1 * pb.time.dt0)
+        if seg:
+            runner.run_fused(end_time=pb.time.t0 + 2.1 * pb.time.dt0,
+                             max_rows=seg, allow_partial=True)
+        else:
+            runner.run_fused(end_time=pb.time.t0 + 2.1 * pb.time.dt0)
     else:
         runner.run(max_steps=1, verbose=False)
     compile_s = time.time() - t0
     t0 = time.time()
     kw = {} if end_time is None else {"end_time": end_time}
-    res = runner.run_fused(**kw) if use_fused else runner.run(verbose=False, **kw)
+    if use_fused and seg:
+        res = runner.run_fused_segmented(seg_rows=seg, **kw)
+    elif use_fused:
+        res = runner.run_fused(**kw)
+    else:
+        res = runner.run(verbose=False, **kw)
     wall = time.time() - t0
     out_name = spec.replace("@", "_t")
     write_csv(f"results/{out_name}_out.csv", res.rows, res.columns)

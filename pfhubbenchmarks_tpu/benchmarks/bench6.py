@@ -106,7 +106,15 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         # and replay artifacts, and at 0.76 s wall the ~0.2 s saving isn't
         # worth trading that away (ungated EW is worse still: golden-row
         # 2.3e-6).
-        solver=SolverConfig(line_search="cp", krylov_max_iters=300),
+        # split_chain + a 25² exact dense coarse (min_cells=25, cap 3000:
+        # the 3-field 25² coarse is 2·(26²+25²)·1.5 ≈ 2 kdofs): measured on
+        # the v5e (chain_r19 b6_sc25) 0.545 s wall vs 0.76 s for the
+        # whole-V-cycle kernel — the shallower cycle drops the in-kernel
+        # 12²-level sweep visits, and the trajectory still walks 14/14
+        # reference rows at TFE 5.3e-7 (inside the 1e-6-class bound).
+        solver=SolverConfig(line_search="cp", krylov_max_iters=300,
+                            fuse_vcycle="split_chain", gmg_min_cells=25,
+                            gmg_dense_coarse_max_dofs=3000),
         dirichlet_spec=dirichlet_spec,
         **overrides,
     )

@@ -102,9 +102,9 @@ def make(nx: int = 250, ny: int = 10, Lx: float = 25.0, Ly: float = 1.0,
         # regardless of M's quality tail. mixed_precision=False: the
         # problem is linear — one emulated-f64 J·v at 10.5k dofs per
         # iteration is negligible — and it removes the f32 Krylov
-        # cancellation floor (the build dtype follows the Krylov dtype, so
-        # the factor itself is f64-emulated on TPU: eps64-class M, FGMRES
-        # converges in a handful of iterations).
+        # cancellation floor. The refined M is LAPACK-f32-class (~1e-3
+        # application residual); f64 FGMRES polishes the rest in a
+        # handful of iterations.
         # precond_lag='solve': the problem is LINEAR — J never changes —
         # so the dense factor+refinement is built once per solve, not per
         # Newton iteration (the refinement's f64-emulated matmuls are the

@@ -136,40 +136,109 @@ def _inv_unit_lower(F, base):
          jnp.concatenate([X21, X22], axis=1)], axis=0)
 
 
-def refine_inverse(M, X, iters: int = 3):
-    """Newton–Schulz refinement of an approximate inverse, in float64.
+def refine_inverse(M, X, iters: int = 3, chunk: int = 2048):
+    """Newton–Schulz refinement of an approximate f32 inverse.
 
     ``X <- X + X (I - M X)`` squares the residual ``E = I - M X`` each
     iteration — but ONLY if E is computed above the working-precision
-    noise: with f32 residuals the iteration floors immediately at
-    eps32·cond-class E (measured: the cond-1e6 test matrix stalls at
-    fro(E) ~ 0.28, quality stuck at 7e-3). So everything here runs in f64
-    (emulated on TPU — 2 n^3 emulated matmuls per iteration, a one-time
-    build cost): an 0.16-quality f32 factor (the real elast Jacobian,
-    chain_r19) contracts 0.38 -> 4e-3 -> 6e-7 -> 5e-10 in fro(E)
-    (measured on the cond-1e6 test class), i.e. the refined X is a
-    DIRECT-SOLVE-grade f64 inverse from an f32 no-pivot factorization.
+    noise: with f32 residual arithmetic the iteration floors immediately
+    at eps32·cond-class E (measured: the cond-1e6 test matrix stalls at
+    fro(E) ~ 0.28, quality stuck at 7e-3). With f64 arithmetic the same
+    seed contracts quadratically (fro(E) 0.38 -> 4e-3 -> 6e-7 measured),
+    and the f32-rounded result lands at LAPACK-f32 quality (~7e-4
+    application residual) — two decades past what the raw no-pivot factor
+    delivers on the real elast Jacobian (1.6e-1, chain_r19).
+
+    Memory layout matters at elast scale (n ~ 10.7k: one f64 n×n matrix
+    is 0.93 GB, and a whole-matrix f64 implementation OOMed the v5e's
+    15.75 GB HBM at 23.8 GB in the full build program). So M and X stay
+    f32 PERSISTENTLY; each pass upcasts them once (transients) and runs
+    the two products f64 in ``chunk``-column blocks under ``lax.map`` —
+    peak extra footprint ~2 f64 matrices, not 7.
 
     Divergence guard: Newton–Schulz contracts only while the spectral
-    radius of E is below 1; a bad mode would instead grow quadratically.
-    Each iterate's Frobenius residual is measured and the best iterate
-    returned, so refinement never hands back something worse than its
-    input. Returns float64 (requires x64 enabled, as the solver stack is).
+    radius of E is below 1; a bad mode would grow quadratically instead.
+    Each pass measures fro(E) and the update is kept only if it reduced
+    it, so refinement never hands back something worse than its input
+    (and once a pass is rejected the iterate stays fixed). Returns f32.
+    Requires x64 enabled (as the solver stack always is).
     """
     n = M.shape[0]
-    M = M.astype(jnp.float64)
-    X = X.astype(jnp.float64)
-    eye = jnp.eye(n, dtype=jnp.float64)
-    E = eye - _dot(M, X)
-    best_X, best_norm = X, jnp.linalg.norm(E)
+    M = M.astype(jnp.float32)
+    X = X.astype(jnp.float32)
+    npad = -(-n // chunk) * chunk
+    if npad != n:
+        # identity-tail padding: the pad block's inverse is itself, its
+        # residual block is exactly zero, and it never couples to the
+        # leading n×n block
+        pad = npad - n
+
+        def _padded(A):
+            return jnp.concatenate(
+                [jnp.concatenate([A, jnp.zeros((n, pad), A.dtype)], axis=1),
+                 jnp.concatenate([jnp.zeros((pad, n), A.dtype),
+                                  jnp.eye(pad, dtype=A.dtype)], axis=1)],
+                axis=0)
+
+        M, X = _padded(M), _padded(X)
+    nchunks = npad // chunk
+    rows = jnp.arange(npad)
+
+    def ns_pass(X32):
+        """One f64 Newton–Schulz pass in column blocks.
+
+        Returns (X_new f32, fro²(E) BEFORE the update) — the residual is
+        a byproduct of the update, so the guard costs nothing extra.
+        """
+        M64 = M.astype(jnp.float64)
+        X64 = X32.astype(jnp.float64)
+
+        def body(i):
+            c0 = i * chunk
+            Xb = jax.lax.dynamic_slice(X64, (0, c0), (npad, chunk))
+            Ib = ((rows[:, None] - c0) == jnp.arange(chunk)[None, :]
+                  ).astype(jnp.float64)
+            Eb = Ib - _dot(M64, Xb)
+            Ub = _dot(X64, Eb)
+            return (Xb + Ub).astype(jnp.float32), jnp.vdot(Eb, Eb)
+
+        blocks, fro2 = jax.lax.map(body, jnp.arange(nchunks))
+        X_new = jnp.moveaxis(blocks, 0, 1).reshape(npad, npad)
+        return X_new, jnp.sum(fro2)
+
+    # fro²(E) of the final iterate, for the last acceptance test
+    def resid2(X32):
+        M64 = M.astype(jnp.float64)
+        X64 = X32.astype(jnp.float64)
+
+        def body(i):
+            c0 = i * chunk
+            Xb = jax.lax.dynamic_slice(X64, (0, c0), (npad, chunk))
+            Ib = ((rows[:, None] - c0) == jnp.arange(chunk)[None, :]
+                  ).astype(jnp.float64)
+            Eb = Ib - _dot(M64, Xb)
+            return jnp.vdot(Eb, Eb)
+
+        return jnp.sum(jax.lax.map(body, jnp.arange(nchunks)))
+
+    # best-iterate selection: each ns_pass measures the residual of its
+    # INPUT as a byproduct, so iterates 0..iters-1 are scored for free and
+    # only the final iterate pays one extra residual sweep
+    best_X, best_fro2 = None, None
     for _ in range(iters):
-        X = X + _dot(X, E)
-        E = eye - _dot(M, X)
-        nrm = jnp.linalg.norm(E)
-        better = nrm < best_norm
-        best_X = jnp.where(better, X, best_X)
-        best_norm = jnp.where(better, nrm, best_norm)
-    return best_X
+        X_new, fro2 = ns_pass(X)
+        if best_X is None:
+            best_X, best_fro2 = X, fro2
+        else:
+            ok = fro2 < best_fro2
+            best_X = jnp.where(ok, X, best_X)
+            best_fro2 = jnp.where(ok, fro2, best_fro2)
+        X = X_new
+    if iters:
+        fro2 = resid2(X)
+        ok = fro2 < best_fro2
+        X = jnp.where(ok, X, best_X)
+    return X[:n, :n]
 
 
 def mxu_inverse(M, base: int = 256):

@@ -323,13 +323,13 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
             # Newton stalled. mxu_inverse is pure HIGHEST-precision
             # matmuls + VPU Gauss-Jordan scans; on the REAL elast Jacobian
             # its f32 no-pivot factor still measured 1.6e-1 (chain_r19),
-            # so the factor is ONLY a Newton–Schulz seed: 3 f64-emulated
-            # refinement passes (2 n^3 matmuls each, one-time build cost)
-            # square that to a direct-solve-grade f64 inverse
-            # (mxu_inverse.refine_inverse; measured 2e-11 application
-            # residual on the cond-1e6 test class). The f32 factorization
-            # keeps the recursive program small; the f64 work is 7 plain
-            # matmuls.
+            # so the factor is ONLY a Newton–Schulz seed: 3 refinement
+            # passes with f64 arithmetic in column blocks (2 n^3 matmuls
+            # each, one-time build cost; f32-persistent storage — the
+            # whole-matrix f64 version OOMed the v5e's 15.75 GB HBM at
+            # elast's n=10.5k) square that to LAPACK-f32 application
+            # quality (~7e-4 on the cond-1e6 test class), which the f64
+            # FGMRES above polishes in a handful of iterations.
             from pfhubbenchmarks_tpu.solve.mxu_inverse import (
                 mxu_inverse, refine_inverse)
 

@@ -79,20 +79,21 @@ def test_jit_and_odd_split():
     assert np.abs(M @ A.astype(np.float64) - np.eye(n)).max() < 1e-4
 
 
-def test_refine_inverse_reaches_direct_solve_quality():
-    """f64 Newton–Schulz refinement of the f32 no-pivot factor converges
-    quadratically to a direct-solve-grade inverse (the residual squares
-    each pass: 1.3e-2 -> ~1e-4 -> ~1e-8 -> ~1e-11 measured on this
-    matrix), and its best-iterate guard never returns something worse
-    than the input."""
+def test_refine_inverse_reaches_lapack_f32_quality():
+    """Chunked-f64 Newton–Schulz refinement of the f32 no-pivot factor
+    converges quadratically (fro(E) 0.38 -> 4e-3 -> 6e-7 measured on this
+    matrix); the f32-stored result lands at LAPACK-f32 application
+    quality (~7e-4 vs the seed's 1.3e-2), and the best-iterate guard
+    never returns something worse than the input. Exercises the padded
+    path (700 is not a multiple of the 256-column chunk)."""
     from pfhubbenchmarks_tpu.solve.mxu_inverse import refine_inverse
 
     n = 700
     M = _spd_with_bc_rows(n, cond=1e6, n_bc=30, seed=3)
-    M64 = jnp.asarray(M, jnp.float64)
     X0 = mxu_inverse(jnp.asarray(M, jnp.float32), base=128)
-    X = np.asarray(refine_inverse(M64, X0, iters=3))
-    assert X.dtype == np.float64
+    X = np.asarray(refine_inverse(jnp.asarray(M, jnp.float32), X0,
+                                  iters=3, chunk=256))
+    assert X.dtype == np.float32
     rng = np.random.default_rng(0)
     r = rng.standard_normal(n)
 
@@ -102,4 +103,4 @@ def test_refine_inverse_reaches_direct_solve_quality():
 
     q0, q = quality(X0), quality(X)
     assert q <= q0, (q0, q)
-    assert q < 1e-8, (q0, q)
+    assert q < 3e-3, (q0, q)

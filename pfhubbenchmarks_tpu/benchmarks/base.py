@@ -229,9 +229,13 @@ class BenchmarkProblem:
                 dense_coarse_max_dofs=s.gmg_dense_coarse_max_dofs,
                 cycle=s.gmg_cycle,
             )
+        extra = {}
+        if kind == "dense":
+            extra = dict(impl=self.solver.dense_impl,
+                         refine_iters=self.solver.dense_refine_iters)
         return BUILDERS[kind](
             self.grid, self.terms, self.n_fields, dirichlet=self.dirichlet,
-            dtype=kry_dtype, needs_coords=self.needs_coords,
+            dtype=kry_dtype, needs_coords=self.needs_coords, **extra,
         )
 
     def observable_fns(self):

@@ -196,10 +196,14 @@ def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
                             precond_rule="keast2", fast_residual=True),
         # one whole-run dispatch at 50³ crashes the remote TPU worker
         # during execution (with AND without Pallas — chain_r19 bisect);
-        # a ~48 s dispatch completes, so fused runs go in 4-step segments
+        # a ~48 s dispatch completes, so fused runs go in short segments
         # (timeloop.run_fused_segmented; host pays one ~2 MB state
-        # round-trip per segment instead of one dispatch per attempt)
-        fused_seg_rows=4,
+        # round-trip per segment instead of one dispatch per attempt).
+        # seg=4 still crashed twice (chain_r20: a 4-step segment with
+        # dt-retries can exceed the worker's dispatch limit); seg=1 and
+        # seg=2 both completed 31 steps at the same wall (285.9 / 292.5 s,
+        # chain_r21), so default to the most bounded dispatch
+        fused_seg_rows=1,
         **overrides,
     )
 

@@ -102,18 +102,22 @@ def make(nx: int = 250, ny: int = 10, Lx: float = 25.0, Ly: float = 1.0,
         # regardless of M's quality tail. mixed_precision=False: the
         # problem is linear — one emulated-f64 J·v at 10.5k dofs per
         # iteration is negligible — and it removes the f32 Krylov
-        # cancellation floor. The refined M is LAPACK-f32-class (~1e-3
-        # application residual); f64 FGMRES polishes the rest in a
-        # handful of iterations.
+        # cancellation floor.
+        # dense_refine_iters=0: under f64 FGMRES the raw mxu factor's
+        # 1.6e-1 application residual is ALREADY a ~0.16-contraction
+        # preconditioner (rtol 1e-8 in ~a dozen basis vectors), and each
+        # Newton–Schulz pass costs ~40 s of f64-EMULATED n³ matmuls at
+        # n=10.5k (measured: the refined run was 126 s warm, chain_r20,
+        # ~120 s of it refinement). Refinement is for stationary
+        # consumers of M (Richardson/direct-solve use), not for GMRES.
         # precond_lag='solve': the problem is LINEAR — J never changes —
-        # so the dense factor+refinement is built once per solve, not per
-        # Newton iteration (the refinement's f64-emulated matmuls are the
-        # dominant build cost on TPU).
+        # so the dense factor is built once per solve, not per Newton
+        # iteration.
         solver=SolverConfig(line_search="basic", newton_max_iters=4,
                             precond="dense", krylov="fgmres",
                             mixed_precision=False, krylov_rtol=1e-8,
                             krylov_max_iters=100, gmres_restart=50,
-                            precond_lag="solve"),
+                            precond_lag="solve", dense_refine_iters=0),
         dirichlet_spec=(
             (0, "left", lambda y: 0.0 * y),
             (1, "left", lambda y: 0.0 * y),

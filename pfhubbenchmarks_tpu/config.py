@@ -177,6 +177,17 @@ class SolverConfig:
     # only iteration counts, never correctness; the build (AD node-block
     # inverses at every level + staging) measured 4-8 ms per call on TPU.
     precond_lag: str = "newton"     # 'newton' | 'solve'
+    # Dense preconditioner (precond='dense') implementation + refinement.
+    # 'auto' = LAPACK on CPU, matmul-only mxu_inverse elsewhere (TPU's
+    # LU/TriangularSolve expanders are bf16-poisoned — solve/mxu_inverse.py);
+    # 'lapack' / 'mxu' force a path (mxu on CPU emulates the TPU factor
+    # quality for labs). dense_refine_iters = Newton–Schulz passes applied
+    # to the mxu factor; each pass costs ~2n^3 f64-EMULATED matmuls on TPU
+    # (~40 s at elast's n=10.5k), so production configs that polish with an
+    # outer f64 loop (mixed-precision Newton-as-iterative-refinement)
+    # should set 0 and let FGMRES absorb the factor's error tail.
+    dense_impl: str = "auto"        # 'auto' | 'lapack' | 'mxu'
+    dense_refine_iters: int = 3
     # Quadrature rule for the PRECONDITIONER's operator only (V-cycle J.v,
     # smoothers, block inverses). The outer Newton residual and Krylov
     # matvec keep the FFC-parity 'ffc3' rule (4 pts/triangle), so converged

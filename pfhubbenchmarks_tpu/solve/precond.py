@@ -241,7 +241,8 @@ def make_identity_precond():
 
 def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
                        dirichlet=(), dtype=jnp.float32,
-                       needs_coords: bool = False, chunk: int = 512):
+                       needs_coords: bool = False, chunk: int = 512,
+                       impl: str = "auto", refine_iters: int = 3):
     """Dense f32 inverse of the full Jacobian — the MXU 'direct solve'.
 
     For small stiff LINEAR systems (elast's 250×10 thin-beam cantilever,
@@ -258,8 +259,17 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
     """
     from pfhubbenchmarks_tpu.fem.assembly import make_residual
 
+    use_lapack = (impl == "lapack" or
+                  (impl == "auto" and jax.default_backend() == "cpu"))
+    # The mxu path only ever consumes the f32 rounding of J (mxu_inverse
+    # factors f32; refine_inverse stores M f32-persistently too), so
+    # building the precond Jacobian in f64 buys nothing there and costs
+    # 40x on TPU (4.25 s vs 0.10 s at elast's n=10.5k, chain_r21) — f64
+    # is EMULATED. LAPACK keeps the Krylov dtype (CPU f64 getrf is
+    # direct-solve grade and the build is cheap there).
+    build_dtype = dtype if use_lapack else jnp.float32
     residual = make_residual(grid, terms, n_fields, dirichlet=dirichlet,
-                             needs_coords=needs_coords, dtype=dtype)
+                             needs_coords=needs_coords, dtype=build_dtype)
     ny, nx = grid.ny, grid.nx
     nvy, nvx = grid.n_vertices_y, grid.n_vertices_x
     Yv, Xv = grid.vshape
@@ -282,22 +292,23 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
         return v, m
 
     def build(w, w0, dt):
-        w = jax.tree_util.tree_map(lambda a: a.astype(dtype), w)
-        w0 = jax.tree_util.tree_map(lambda a: a.astype(dtype), w0)
-        dt = jnp.asarray(dt, dtype)
+        w = jax.tree_util.tree_map(lambda a: a.astype(build_dtype), w)
+        w0 = jax.tree_util.tree_map(lambda a: a.astype(build_dtype), w0)
+        dt = jnp.asarray(dt, build_dtype)
         x0 = flatten(w)
         _, jvp = jax.linearize(lambda x: flatten(
             residual(unflatten(x), w0, dt)), x0)
 
         def chunk_rows(i):
             rows = i * chunk + jnp.arange(chunk)
-            basis = (jnp.arange(n)[None, :] == rows[:, None]).astype(dtype)
+            basis = (jnp.arange(n)[None, :]
+                     == rows[:, None]).astype(build_dtype)
             return jax.vmap(jvp)(basis)   # [chunk, n] = rows of J^T
 
         JT = jax.lax.map(chunk_rows, jnp.arange(nchunks))
         J = JT.reshape(nchunks * chunk, n)[:n].T
         d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
-        if jax.default_backend() == "cpu":
+        if use_lapack:
             # LAPACK path, column-chunked: inv's blocked triangular-solve
             # temps against the full n x n identity ([~n, n] f32, dozens
             # live under remat) blow memory at elast's n=10522; factor
@@ -334,7 +345,9 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
                 mxu_inverse, refine_inverse)
 
             Jd = J * d[:, None]
-            A = refine_inverse(Jd, mxu_inverse(Jd.astype(jnp.float32)))
+            A = mxu_inverse(Jd.astype(jnp.float32))
+            if refine_iters:
+                A = refine_inverse(Jd, A, iters=refine_iters)
 
         def Minv(r):
             return unflatten((A @ (d * flatten(r))).astype(dtype))

@@ -64,9 +64,9 @@ fused = "--fused" in args
 names = [a for a in args if not a.startswith("--")] or [
     "bench1", "bench2", "bench6", "bench3", "bench1_3d", "elast"]
 records = []
-for spec in names:
-    name, _, end_s = spec.partition("@")
-    end_time = float(end_s) if end_s else None
+
+
+def _run_one(spec, name, end_time):
     pb = get_benchmark(name)
     runner = timeloop.Runner(pb)
     use_fused = fused and (pb.abort_condition is None
@@ -116,6 +116,19 @@ for spec in names:
         rec.update(baseline_8rank_s=None, baseline_source=base[2])
     records.append(rec)
     print(line, flush=True)
+
+
+for spec in names:
+    name, _, end_s = spec.partition("@")
+    end_time = float(end_s) if end_s else None
+    try:
+        _run_one(spec, name, end_time)
+    except Exception as e:  # noqa: BLE001 — unattended artifact generator:
+        # one benchmark failing (worker crash, config regression) must not
+        # lose the other rows or the JSON artifact
+        records.append({"benchmark": spec,
+                        "error": f"{type(e).__name__}: {e}"})
+        print(f"{spec}: FAILED {type(e).__name__}: {e}", flush=True)
 
 with open("results/bench_all.json", "w") as f:
     json.dump({"denominator_policy":

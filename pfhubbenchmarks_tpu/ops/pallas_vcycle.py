@@ -10,8 +10,13 @@ the coarse solve — into a single ``pallas_call``:
 - grid transfers run in-kernel as small dense MXU matmuls
   (ops/transfer_mats.py) — Mosaic rejects the strided slicing the XLA
   transfers use, which is what blocked this fusion in round 1;
-- coarse-level states are computed in-kernel by matmul injection, so the
-  caller only ships the fine-level linearization state once per Newton step;
+- coarse-level linearization states are kernel INPUTS (one (w, w0) pair per
+  level), computed ONCE per preconditioner build by solve/gmg.py's
+  ``inject_any`` — which the build already does to assemble the per-level
+  block-Jacobi inverses. Round 4 measured the previous design (in-kernel
+  matmul re-injection of the fine state on EVERY apply) at ~2(L-1) transfer
+  chains ≈ 50 small matmuls per application — pure serial depth paid per
+  Krylov iteration for state that is constant across the whole solve;
 - smoothing sweeps run under ``lax.fori_loop`` so each level contributes ONE
   traced J.v body regardless of sweep count (the round-1 multi-sweep kernels
   unrolled sweeps and hit Mosaic's scoped-VMEM stack at >6 sweeps);
@@ -194,12 +199,16 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       with_matvec: bool = False, matvec_grid=None,
                       level_bcs=None, cycle: str = "v",
                       interpret: bool = False):
-    """Returns ``vcycle(r, w, w0, dt, pinvs) -> z`` (one kernel launch).
+    """Returns ``vcycle(r, w_levels, w0_levels, dt, pinvs) -> z`` (one
+    kernel launch).
 
-    ``r``/``w``/``w0`` are fine-level states ``(v, m)``; ``pinvs`` is a list
-    of per-level node-block inverses ``(pv [F,F,Yv,Xv], pm [F,F,Ym,Xm])``
-    from solve/precond.py (built per Newton iteration — they depend on the
-    Jacobian diagonal, which is assembled with AD outside the kernel).
+    ``r`` is the fine-level RHS ``(v, m)``; ``w_levels``/``w0_levels`` are
+    PER-LEVEL linearization states (length ``len(grids)`` lists of ``(v, m)``
+    pairs, the ``inject_any`` ladder solve/gmg.py already computes to build
+    ``pinvs``); ``pinvs`` is a list of per-level node-block inverses
+    ``(pv [F,F,Yv,Xv], pm [F,F,Ym,Xm])`` from solve/precond.py (built per
+    Newton iteration — they depend on the Jacobian diagonal, which is
+    assembled with AD outside the kernel).
 
     ``with_matvec=True`` additionally returns ``A z`` (the fine-level J.v of
     the preconditioned vector, same linearization): FGMRES always follows
@@ -239,13 +248,18 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     n_out = 4 if with_matvec else 2
 
     def kernel(*refs):
-        # refs: r_v, r_m, w_v, w_m, w0_v, w0_m, [pv_l, pm_l]*L,
-        #       [19 transfer mats]*(L-1), [bc mask_l]*L (when BCs), dt,
+        # refs: r_v, r_m, [w_v_l, w_m_l]*L, [w0_v_l, w0_m_l]*L,
+        #       [pv_l, pm_l]*L, [19 transfer mats]*(L-1),
+        #       [bc mask_l]*L (when BCs), dt,
         #       out_v, out_m, (mv_v, mv_m when with_matvec),
         #       [az_v_l, az_m_l]*L scratch
-        r_v, r_m, w_v, w_m, w0_v, w0_m = refs[:6]
-        pinv = [(refs[6 + 2 * l], refs[7 + 2 * l]) for l in range(L)]
-        base = 6 + 2 * L
+        r_v, r_m = refs[:2]
+        w_l = [(refs[2 + 2 * l][:], refs[3 + 2 * l][:]) for l in range(L)]
+        w0_l = [(refs[2 + 2 * L + 2 * l][:], refs[3 + 2 * L + 2 * l][:])
+                for l in range(L)]
+        pinv = [(refs[2 + 4 * L + 2 * l], refs[3 + 4 * L + 2 * l])
+                for l in range(L)]
+        base = 2 + 6 * L
         mats = []
         for spec in mat_schema:
             if spec[0] == "dyadic":
@@ -266,13 +280,6 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         az = [(refs[base + 1 + n_out + 2 * l], refs[base + 2 + n_out + 2 * l])
               for l in range(L)]
         dt = dt_ref[0, 0]
-
-        # coarse-level linearization states by in-kernel injection
-        w_l = [(w_v[:], w_m[:])]
-        w0_l = [(w0_v[:], w0_m[:])]
-        for l in range(L - 1):
-            w_l.append(mats[l].inject(w_l[-1]))
-            w0_l.append(mats[l].inject(w0_l[-1]))
 
         def Az(l, z):
             _, ny, nx = shapes[l][1], shapes[l][2], shapes[l][3]
@@ -370,7 +377,7 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     for (yv, xv), (ym, xm), _, _ in shapes:
         scratch += [pltpu.VMEM((F, yv, xv), dtype),
                     pltpu.VMEM((F, ym, xm), dtype)]
-    n_vmem_in = 6 + 2 * L + len(mat_arrays) + (L if has_bcs else 0)
+    n_vmem_in = 2 + 6 * L + len(mat_arrays) + (L if has_bcs else 0)
     mat_consts = [jnp.asarray(a, dtype) for a in mat_arrays]
     if has_bcs:
         mat_consts += [jnp.asarray(m, dtype) for m in bc_masks]
@@ -392,10 +399,12 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
         interpret=interpret,
     )
 
-    def apply(r, w, w0, dt, pinvs):
+    def apply(r, w_levels, w0_levels, dt, pinvs):
         dt_arr = jnp.asarray([[dt]], dtype)
+        flat_w = [a for wl in w_levels for a in wl]
+        flat_w0 = [a for wl in w0_levels for a in wl]
         flat_p = [a for pv_pm in pinvs for a in pv_pm]
-        out = call(r[0], r[1], w[0], w[1], w0[0], w0[1], *flat_p,
+        out = call(r[0], r[1], *flat_w, *flat_w0, *flat_p,
                    *mat_consts, dt_arr)
         if with_matvec:
             return (out[0], out[1]), (out[2], out[3])
@@ -546,13 +555,15 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
                              n_fields: int, *, nu: int = 2,
                              dtype=jnp.float32, level_bcs=None,
                              interpret: bool = False):
-    """Multi-level descend: ``chain(b, w, w0, dt, pinvs) -> (xs, bs, bc)``
-    — for each level l in 0..k-1 of ``grids`` (k = len-1 pairs): ``nu`` LMR
-    pre-sweeps from x=0, then Galerkin restriction, all in ONE kernel.
-    Returns the per-level smoothed iterates ``xs`` and restricted RHS
-    ``bs[1..k-1]`` (the ascend chain's residual-update inputs) plus the
-    coarsest-level RHS ``bc``. Coarse-level linearization states come from
-    in-kernel injection of the top-level ``(w, w0)``.
+    """Multi-level descend: ``chain(b, w_levels, w0_levels, dt, pinvs) ->
+    (xs, bs, bc)`` — for each level l in 0..k-1 of ``grids`` (k = len-1
+    pairs): ``nu`` LMR pre-sweeps from x=0, then Galerkin restriction, all
+    in ONE kernel. Returns the per-level smoothed iterates ``xs`` and
+    restricted RHS ``bs[1..k-1]`` (the ascend chain's residual-update
+    inputs) plus the coarsest-level RHS ``bc``. ``w_levels``/``w0_levels``
+    are length-k lists of per-level linearization states (the caller's
+    ``inject_any`` ladder — constant per solve, so shipping them beats the
+    previous per-apply in-kernel re-injection).
 
     Mathematically identical to per-level make_fused_descend calls — this
     exists because each pallas launch costs ~0.2 ms at PFHub sizes and the
@@ -573,9 +584,13 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
     shapes = [(g.vshape, g.mshape, g.ny, g.nx) for g in grids]
 
     def kernel(*refs):
-        b_v, b_m, w_v, w_m, w0_v, w0_m = refs[:6]
-        pinv = [(refs[6 + 2 * l], refs[7 + 2 * l]) for l in range(K)]
-        base = 6 + 2 * K
+        b_v, b_m = refs[:2]
+        w_l = [(refs[2 + 2 * l][:], refs[3 + 2 * l][:]) for l in range(K)]
+        w0_l = [(refs[2 + 2 * K + 2 * l][:], refs[3 + 2 * K + 2 * l][:])
+                for l in range(K)]
+        pinv = [(refs[2 + 4 * K + 2 * l], refs[3 + 4 * K + 2 * l])
+                for l in range(K)]
+        base = 2 + 6 * K
         mats = []
         for l in range(K):
             n = len(pair_arrs[l])
@@ -593,12 +608,6 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
         bc_out = (outs[2 * K + 2 * (K - 1)], outs[2 * K + 2 * (K - 1) + 1])
         az = [(outs[4 * K + 2 * l], outs[4 * K + 2 * l + 1])
               for l in range(K)]     # scratch comes after all outputs
-
-        w_l = [(w_v[:], w_m[:])]
-        w0_l = [(w0_v[:], w0_m[:])]
-        for l in range(K - 1):
-            w_l.append(mats[l].inject(w_l[-1]))
-            w0_l.append(mats[l].inject(w0_l[-1]))
 
         b = (b_v[:], b_m[:])
         for l in range(K):
@@ -661,7 +670,7 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
         kernel,
         out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (6 + 2 * K + len(mat_consts))
+        * (2 + 6 * K + len(mat_consts))
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in out_shape),
@@ -670,10 +679,12 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
         interpret=interpret,
     )
 
-    def chain(b, w, w0, dt, pinvs):
+    def chain(b, w_levels, w0_levels, dt, pinvs):
         dt_arr = jnp.asarray([[dt]], dtype)
+        flat_w = [a for wl in w_levels for a in wl]
+        flat_w0 = [a for wl in w0_levels for a in wl]
         flat_p = [a for pv_pm in pinvs for a in pv_pm]
-        out = call(b[0], b[1], w[0], w[1], w0[0], w0[1], *flat_p,
+        out = call(b[0], b[1], *flat_w, *flat_w0, *flat_p,
                    *mat_consts, dt_arr)
         xs = [(out[2 * l], out[2 * l + 1]) for l in range(K)]
         bs = [(out[2 * K + 2 * i], out[2 * K + 2 * i + 1])
@@ -688,10 +699,12 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
                             n_fields: int, *, nu: int = 2,
                             dtype=jnp.float32, level_bcs=None,
                             interpret: bool = False):
-    """Multi-level ascend: ``chain(bs, xs, xc, w, w0, dt, pinvs) -> z`` —
-    from the coarsest correction ``xc`` upward through levels k-1..0 of
-    ``grids``: prolong, add to the descend iterate, recompute the level
-    residual against ``bs[l]``, ``nu`` post-sweeps. One kernel."""
+    """Multi-level ascend: ``chain(bs, xs, xc, w_levels, w0_levels, dt,
+    pinvs) -> z`` — from the coarsest correction ``xc`` upward through
+    levels k-1..0 of ``grids``: prolong, add to the descend iterate,
+    recompute the level residual against ``bs[l]``, ``nu`` post-sweeps.
+    One kernel. ``w_levels``/``w0_levels``: length-k per-level states (see
+    make_fused_descend_chain)."""
     K = len(grids) - 1
     F = n_fields
     assert K >= 1
@@ -718,8 +731,14 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
         for l in range(K):
             xs.append((refs[idx], refs[idx + 1]))
             idx += 2
-        xc_v, xc_m, w_v, w_m, w0_v, w0_m = refs[idx:idx + 6]
-        idx += 6
+        xc_v, xc_m = refs[idx:idx + 2]
+        idx += 2
+        w_l = [(refs[idx + 2 * l][:], refs[idx + 2 * l + 1][:])
+               for l in range(K)]
+        idx += 2 * K
+        w0_l = [(refs[idx + 2 * l][:], refs[idx + 2 * l + 1][:])
+                for l in range(K)]
+        idx += 2 * K
         pinv = [(refs[idx + 2 * l], refs[idx + 2 * l + 1]) for l in range(K)]
         idx += 2 * K
         mats = []
@@ -734,12 +753,6 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
         oz = (refs[idx + 1], refs[idx + 2])
         az = [(refs[idx + 3 + 2 * l], refs[idx + 4 + 2 * l])
               for l in range(K)]
-
-        w_l = [(w_v[:], w_m[:])]
-        w0_l = [(w0_v[:], w0_m[:])]
-        for l in range(K - 1):
-            w_l.append(mats[l].inject(w_l[-1]))
-            w0_l.append(mats[l].inject(w0_l[-1]))
 
         xc = (xc_v[:], xc_m[:])
         for l in range(K - 1, -1, -1):
@@ -787,7 +800,7 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
         (Yv, Xv), (Ym, Xm) = shapes[l][0], shapes[l][1]
         scratch += [pltpu.VMEM((F, Yv, Xv), dtype),
                     pltpu.VMEM((F, Ym, Xm), dtype)]
-    n_vmem = 4 * K + 6 + 2 * K + len(mat_consts)
+    n_vmem = 4 * K + 2 + 6 * K + len(mat_consts)
     call = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((F, Yv0, Xv0), dtype),
@@ -801,14 +814,18 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
         interpret=interpret,
     )
 
-    def chain(bs, xs, xc, w, w0, dt, pinvs):
+    def chain(bs, xs, xc, w_levels, w0_levels, dt, pinvs):
         dt_arr = jnp.asarray([[dt]], dtype)
         flat = []
         for b in bs:
             flat += [b[0], b[1]]
         for x in xs:
             flat += [x[0], x[1]]
-        flat += [xc[0], xc[1], w[0], w[1], w0[0], w0[1]]
+        flat += [xc[0], xc[1]]
+        for wl in w_levels:
+            flat += [wl[0], wl[1]]
+        for wl in w0_levels:
+            flat += [wl[0], wl[1]]
         for pv_pm in pinvs:
             flat += [pv_pm[0], pv_pm[1]]
         out = call(*flat, *mat_consts, dt_arr)

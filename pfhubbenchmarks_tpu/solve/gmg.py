@@ -431,15 +431,19 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             w0f = _cast(w0, precond_dtype)
             dtf = jnp.asarray(dt, precond_dtype)
             pinvs = []
+            w_ls, w0_ls = [], []
             wl, w0l = wf, w0f
             for l in range(len(grids)):
+                w_ls.append(wl)
+                w0_ls.append(w0l)
                 pinvs.append(bj_builders[l](wl, w0l, dtf).pinv_planes)
                 if l + 1 < len(grids):
                     wl = injs[l](wl)
                     w0l = injs[l](w0l)
 
             def Minv_fused(r):
-                z, _ = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
+                z, _ = fused(_cast(r, precond_dtype), w_ls, w0_ls, dtf,
+                             pinvs)
                 return _cast(z, dtype)
 
             def minv_matvec(r):
@@ -447,7 +451,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 z-then-Az pair (solve/krylov.py) without the intermediate
                 HBM round-trip. Same fine-level linearization (w, w0, dt)
                 as the outer J.v, so the products are identical."""
-                z, az = fused(_cast(r, precond_dtype), wf, w0f, dtf, pinvs)
+                z, az = fused(_cast(r, precond_dtype), w_ls, w0_ls, dtf,
+                              pinvs)
                 return _cast(z, dtype), _cast(az, dtype)
 
             # The exported A z must be the TRUE outer operator — under
@@ -584,11 +589,12 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             jvp, _ = ops[l]
             if split_chain is not None and l == 0:
                 chain_d, chain_a = split_chain
-                wl0, w0l0 = level_states[0]
                 K = len(grids) - 1
-                xs, bs, bc = chain_d(b, wl0, w0l0, dtl, level_pinvs[:K])
+                w_ls = [s[0] for s in level_states[:K]]
+                w0_ls = [s[1] for s in level_states[:K]]
+                xs, bs, bc = chain_d(b, w_ls, w0_ls, dtl, level_pinvs[:K])
                 xc = vcycle(K, bc)
-                return chain_a([b] + bs, xs, xc, wl0, w0l0, dtl,
+                return chain_a([b] + bs, xs, xc, w_ls, w0_ls, dtl,
                                level_pinvs[:K])
             if level_splits is not None and l < len(grids) - 1:
                 d_k, a_k = level_splits[l]
@@ -607,15 +613,16 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 # three-kernel split V-cycle: descend + fused tail + ascend
                 wl0, w0l0 = level_states[0]
                 x, bc = split_descend(b, wl0, w0l0, dtl, level_pinvs[0])
-                wl_t, w0l_t = level_states[1]
-                xc = sub_fused(bc, wl_t, w0l_t, dtl, level_pinvs[1:])
+                xc = sub_fused(bc, [s[0] for s in level_states[1:]],
+                               [s[1] for s in level_states[1:]], dtl,
+                               level_pinvs[1:])
                 return split_ascend(b, x, xc, wl0, w0l0, dtl,
                                     level_pinvs[0])
             if l == sub_fused_at:
                 # the whole tail [l..coarsest] — smoothing phases, both
                 # transfer directions, coarse sweeps — is ONE kernel
-                wl_t, w0l_t = level_states[l]
-                return sub_fused(b, wl_t, w0l_t, dtl,
+                return sub_fused(b, [s[0] for s in level_states[l:]],
+                                 [s[1] for s in level_states[l:]], dtl,
                                  level_pinvs[sub_fused_at:])
             if l == len(grids) - 1:
                 if Jinv_coarse is not None:

@@ -51,7 +51,7 @@ def test_split_matches_whole_kernel(nx):
     whole = make_fused_vcycle(grids, problem.terms, F, nu_pre=nu,
                               nu_post=nu, coarse_sweeps=coarse,
                               dtype=jnp.float32, interpret=True)
-    z_ref = whole(r, w, w, dt, pinvs)
+    z_ref = whole(r, states, states, dt, pinvs)
 
     tail = make_fused_vcycle(grids[1:], problem.terms, F, nu_pre=nu,
                              nu_post=nu, coarse_sweeps=coarse,
@@ -62,7 +62,7 @@ def test_split_matches_whole_kernel(nx):
                                nu=nu, dtype=jnp.float32, interpret=True)
 
     x, bc = descend(r, w, w, dt, pinvs[0])
-    xc = tail(bc, states[1], states[1], dt, pinvs[1:])
+    xc = tail(bc, states[1:], states[1:], dt, pinvs[1:])
     z = ascend(r, x, xc, w, w, dt, pinvs[0])
 
     for a, b in zip(z, z_ref):
@@ -88,7 +88,7 @@ def test_ascend_matvec_pair():
                                   with_matvec=True, interpret=True)
 
     x, bc = descend(r, w, w, dt, pinvs[0])
-    xc = tail(bc, states[1], states[1], dt, pinvs[1:])
+    xc = tail(bc, states[1:], states[1:], dt, pinvs[1:])
     z, az = ascend_mv(r, x, xc, w, w, dt, pinvs[0])
 
     res32 = make_residual(grids[0], problem.terms, F, dtype=jnp.float32)

@@ -9,7 +9,24 @@ from pfhubbenchmarks_tpu.benchmarks.bench1 import make
 from pfhubbenchmarks_tpu.ops.pallas_vcycle import make_fused_vcycle
 from pfhubbenchmarks_tpu.solve.gmg import build_hierarchy, make_gmg
 from pfhubbenchmarks_tpu.solve.precond import make_block_jacobi
-from pfhubbenchmarks_tpu.solve.transfer import inject_state
+from pfhubbenchmarks_tpu.solve.transfer import inject_any
+
+
+def _ladder(grids, terms, F, w, dt, level_bcs=None):
+    """Per-level (inject_any) states + block-Jacobi pinvs — the inputs the
+    fused kernel takes since the round-4 injection hoist (mirrors
+    solve/gmg.py's build)."""
+    w_ls, pinvs = [], []
+    wl = w
+    for l, gl in enumerate(grids):
+        w_ls.append(wl)
+        bcs = level_bcs[l] if level_bcs else ()
+        pinvs.append(make_block_jacobi(
+            gl, terms, F, dirichlet=bcs,
+            dtype=jnp.float32)(wl, wl, dt).pinv_planes)
+        if l + 1 < len(grids):
+            wl = inject_any(grids[l + 1], grids[l])(wl)
+    return w_ls, pinvs
 
 
 def test_fused_vcycle_matches_xla_vcycle():
@@ -44,14 +61,8 @@ def test_fused_vcycle_matches_xla_vcycle():
 
     z_xla = xla_build(w, w, dt)(r)
 
-    pinvs = []
-    wl = w
-    for l, gl in enumerate(grids):
-        pinvs.append(make_block_jacobi(gl, problem.terms, F,
-                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
-        if l + 1 < len(grids):
-            wl = inject_state(grids[l + 1], grids[l])(wl)
-    z_fused = fused(r, w, w, dt, pinvs)
+    w_ls, pinvs = _ladder(grids, problem.terms, F, w, dt)
+    z_fused = fused(r, w_ls, w_ls, dt, pinvs)
 
     # identical math modulo f32 op-order noise in matmul transfers/reductions
     for a, b in zip(z_fused, z_xla):
@@ -68,7 +79,7 @@ def test_fused_vcycle_matches_xla_vcycle():
                                  nu_post=nu_post, coarse_sweeps=coarse,
                                  dtype=jnp.float32, with_matvec=True,
                                  interpret=True)
-    z2, az = fused_mv(r, w, w, dt, pinvs)
+    z2, az = fused_mv(r, w_ls, w_ls, dt, pinvs)
     for a, b in zip(z2, z_fused):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
@@ -112,13 +123,7 @@ def test_fused_matvec_is_true_rule_under_precond_rule():
     fused = make_fused_vcycle(grids_cheap, problem.terms, F,
                               dtype=jnp.float32, with_matvec=True,
                               matvec_grid=g, interpret=True)
-    pinvs = []
-    wl = w
-    for l, gl in enumerate(grids_cheap):
-        pinvs.append(make_block_jacobi(gl, problem.terms, F,
-                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
-        if l + 1 < len(grids_cheap):
-            wl = inject_state(grids_cheap[l + 1], grids_cheap[l])(wl)
+    w_ls, pinvs = _ladder(grids_cheap, problem.terms, F, w, dt)
     rng = np.random.default_rng(1)
     r_v = np.zeros((F,) + g.vshape, np.float32)
     r_m = np.zeros((F,) + g.mshape, np.float32)
@@ -126,7 +131,7 @@ def test_fused_matvec_is_true_rule_under_precond_rule():
         size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
     r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
     r = (jnp.asarray(r_v), jnp.asarray(r_m))
-    z, az = fused(r, w, w, dt, pinvs)
+    z, az = fused(r, w_ls, w_ls, dt, pinvs)
 
     res_true = make_residual(g, problem.terms, F, dtype=jnp.float32)
     _, az_true = jax.jvp(lambda u: res_true(u, w, dt), (w,), (z,))
@@ -182,15 +187,9 @@ def test_fused_vcycle_dirichlet_matches_xla_vcycle():
 
     z_xla = xla_build(w, w, dt)(r)
 
-    pinvs = []
-    wl = w
-    for l, gl in enumerate(grids):
-        pinvs.append(make_block_jacobi(
-            gl, problem.terms, F, dirichlet=level_bcs[l],
-            dtype=jnp.float32)(wl, wl, dt).pinv_planes)
-        if l + 1 < len(grids):
-            wl = inject_state(grids[l + 1], grids[l])(wl)
-    z_fused, az = fused(r, w, w, dt, pinvs)
+    w_ls, pinvs = _ladder(grids, problem.terms, F, w, dt,
+                          level_bcs=level_bcs)
+    z_fused, az = fused(r, w_ls, w_ls, dt, pinvs)
 
     for a, b in zip(z_fused, z_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
@@ -239,16 +238,8 @@ def test_fused_vcycle_general_ratio_matches_xla_vcycle():
 
     z_xla = xla_build(w, w, dt)(r)
 
-    from pfhubbenchmarks_tpu.solve.transfer import inject_any
-
-    pinvs = []
-    wl = w
-    for l, gl in enumerate(grids):
-        pinvs.append(make_block_jacobi(gl, problem.terms, F,
-                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
-        if l + 1 < len(grids):
-            wl = inject_any(grids[l + 1], grids[l])(wl)
-    z_fused = fused(r, w, w, dt, pinvs)
+    w_ls, pinvs = _ladder(grids, problem.terms, F, w, dt)
+    z_fused = fused(r, w_ls, w_ls, dt, pinvs)
 
     for a, b in zip(z_fused, z_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
@@ -283,14 +274,8 @@ def test_fused_wcycle_matches_xla_wcycle():
     r = (jnp.asarray(r_v), jnp.asarray(r_m))
 
     z_xla = xla_build(w, w, dt)(r)
-    pinvs = []
-    wl = w
-    for l, gl in enumerate(grids):
-        pinvs.append(make_block_jacobi(gl, problem.terms, F,
-                                       dtype=jnp.float32)(wl, wl, dt).pinv_planes)
-        if l + 1 < len(grids):
-            wl = inject_state(grids[l + 1], grids[l])(wl)
-    z_fused = fused(r, w, w, dt, pinvs)
+    w_ls, pinvs = _ladder(grids, problem.terms, F, w, dt)
+    z_fused = fused(r, w_ls, w_ls, dt, pinvs)
     for a, b in zip(z_fused, z_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-5)

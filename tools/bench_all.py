@@ -144,11 +144,26 @@ for spec in names:
                         "error": f"{type(e).__name__}: {e}"})
         print(f"{spec}: FAILED {type(e).__name__}: {e}", flush=True)
 
+# merge into the existing artifact keyed by benchmark spec: partial runs
+# (e.g. `bench_all.py --fused bench6` after a kernel change) update their
+# rows without losing the others' — a chain of subset runs previously left
+# only the LAST subset in the committed JSON
+merged = {}
+if os.path.exists("results/bench_all.json"):
+    try:
+        with open("results/bench_all.json") as f:
+            merged = {r["benchmark"]: r
+                      for r in json.load(f).get("results", [])}
+    except (json.JSONDecodeError, KeyError):
+        merged = {}
+for rec in records:
+    merged[rec["benchmark"]] = rec
 with open("results/bench_all.json", "w") as f:
     json.dump({"denominator_policy":
                "8-rank MPI FEniCS equivalents; recorded reference walls "
                "scaled by core ratio (linear), anchored by the measured "
                "bench1 single-rank CSR run (see BASELINES in "
                "tools/bench_all.py)",
-               "results": records}, f, indent=1)
+               "results": sorted(merged.values(),
+                                 key=lambda r: r["benchmark"])}, f, indent=1)
 print("-> results/bench_all.json")

@@ -227,7 +227,7 @@ class BenchmarkProblem:
                 fuse_vcycle=s.fuse_vcycle,
                 precond_rule=s.precond_rule, min_cells=s.gmg_min_cells,
                 dense_coarse_max_dofs=s.gmg_dense_coarse_max_dofs,
-                cycle=s.gmg_cycle,
+                cycle=s.gmg_cycle, inner_mr=s.gmg_inner_mr,
             )
         extra = {}
         if kind == "dense":

@@ -203,6 +203,15 @@ class SolverConfig:
     # recomputed between) — stronger on stiff large-dt systems for ~the
     # cost of extra coarse-level visits (cheap in the fused kernels).
     gmg_cycle: str = "v"
+    # K(s)-style inner acceleration at the top of the cycle: each
+    # preconditioner application runs s >= 2 minimal-residual-combined
+    # V-cycles (z_acc += alpha_j V(r_j), r_{j+1} = r_j - alpha_j A z_j)
+    # instead of one. The outer FGMRES then needs ~s-fold fewer iterations,
+    # and in the fully fused kernel the s V-cycles share ONE launch — on
+    # launch-latency-bound problems (bench1's 100² pair is ~0.32 ms of
+    # which most is launch/staging) this converts per-iteration overhead
+    # into useful smoothing. 1 = plain V-cycle (default).
+    gmg_inner_mr: int = 1
     gmg_omega: float = 0.8
     gmg_coarse_sweeps: int = 24
     gmg_max_levels: int = 10

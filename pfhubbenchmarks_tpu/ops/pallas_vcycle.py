@@ -197,7 +197,7 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_pre: int = 2, nu_post: int = 2,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
                       with_matvec: bool = False, matvec_grid=None,
-                      level_bcs=None, cycle: str = "v",
+                      level_bcs=None, cycle: str = "v", inner_mr: int = 1,
                       interpret: bool = False):
     """Returns ``vcycle(r, w_levels, w0_levels, dt, pinvs) -> z`` (one
     kernel launch).
@@ -357,7 +357,30 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
             x, _ = sweeps(l, x, r, nu_post)
             return x
 
-        z = vcycle(0, (r_v[:], r_m[:]))
+        if inner_mr <= 1:
+            z = vcycle(0, (r_v[:], r_m[:]))
+        else:
+            # K(s)-style acceleration (SolverConfig.gmg_inner_mr): s
+            # minimal-residual-combined V-cycles share THIS launch — the
+            # outer FGMRES sees one (much stronger) preconditioner
+            # application, so launch overhead amortizes over s cycles.
+            # Residual updates use the level-0 (precond-rule) operator;
+            # the exported pair below stays the TRUE-rule J.v of z.
+            def mr_body(_, carry):
+                rcv, rcm, zav, zam = carry
+                zz = vcycle(0, (rcv, rcm))
+                Av, Am = Az(0, zz)
+                num = jnp.sum(Av * rcv) + jnp.sum(Am * rcm)
+                den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
+                alpha = jnp.where(den > 0,
+                                  num / jnp.where(den > 0, den, 1.0), 0.0)
+                return (rcv - alpha * Av, rcm - alpha * Am,
+                        zav + alpha * zz[0], zam + alpha * zz[1])
+
+            z0v, z0m = zeros(0)
+            _, _, zav, zam = lax.fori_loop(
+                0, inner_mr, mr_body, (r_v[:], r_m[:], z0v, z0m))
+            z = (zav, zam)
         out_v[:] = z[0]
         out_m[:] = z[1]
         if with_matvec:

@@ -158,7 +158,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              use_pallas: bool = False, use_tiled_sweeps: bool = False,
              precond_rule: str | None = None, min_cells: int = 7,
              dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto",
-             cycle: str = "v"):
+             cycle: str = "v", inner_mr: int = 1):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -305,7 +305,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
                 with_matvec=True,
                 matvec_grid=(grid if precond_rule else None),
-                level_bcs=level_bcs, cycle=cycle)
+                level_bcs=level_bcs, cycle=cycle, inner_mr=inner_mr)
 
     # sub-cycle fusion: when the FINE level exceeds the whole-kernel VMEM
     # envelope (bench3's 350²), fuse the largest TAIL of the hierarchy that
@@ -637,8 +637,27 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             x, _ = smooth(l, x, r, nu_post)
             return x
 
+        def vcycle_top(b):
+            """inner_mr >= 2: K(s)-style acceleration — s minimal-residual-
+            combined V-cycle applications per preconditioner call
+            (config.SolverConfig.gmg_inner_mr). The inner residual updates
+            use the level-0 (precond-rule) operator; the outer FGMRES
+            corrects any rule mismatch, exactly as for the plain V-cycle."""
+            if inner_mr <= 1:
+                return vcycle(0, b)
+            jvp0, _ = ops[0]
+            z_acc = tr.zeros_like(b)
+            rc = b
+            for _ in range(inner_mr):
+                z = vcycle(0, rc)
+                az = jvp0(z)
+                alpha = tr.vdot(az, rc) * tr.safe_inv(tr.vdot(az, az))
+                z_acc = tr.axpy(alpha, z, z_acc)
+                rc = tr.axpy(-alpha, az, rc)
+            return z_acc
+
         def Minv(r):
-            z = vcycle(0, _cast(r, precond_dtype))
+            z = vcycle_top(_cast(r, precond_dtype))
             return _cast(z, dtype)
 
         if split_mv_jv is not None and (split_descend is not None
@@ -651,7 +670,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 tail, ascend, true-rule J.v) — replaces the outer matvec's
                 separate tiled launch. Same fine-level linearization
                 (w, w0, dt) as the outer J.v."""
-                z = vcycle(0, _cast(r, precond_dtype))
+                z = vcycle_top(_cast(r, precond_dtype))
                 az = split_mv_jv(wf0, w0f0, dtl, z)
                 return _cast(z, dtype), _cast(az, dtype)
 

@@ -246,6 +246,58 @@ def test_fused_vcycle_general_ratio_matches_xla_vcycle():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_inner_mr_matches_xla_inner_mr():
+    """gmg_inner_mr=2 (two minimal-residual-combined V-cycles per
+    preconditioner application, all in one kernel): fused == the XLA
+    vcycle_top wrapper, and the exported Az is the J.v of the combined z."""
+    import jax
+
+    from pfhubbenchmarks_tpu.fem.assembly import make_residual
+
+    problem = make(nx=16, ny=16)
+    g = problem.grid
+    F = problem.n_fields
+
+    xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         nu_pre=2, nu_post=2, coarse_sweeps=8,
+                         dense_coarse_max_dofs=0, inner_mr=2)
+    grids = build_hierarchy(g)
+    fused = make_fused_vcycle(grids, problem.terms, F, nu_pre=2,
+                              nu_post=2, coarse_sweeps=8,
+                              dtype=jnp.float32, inner_mr=2,
+                              with_matvec=True, interpret=True)
+
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+    rng = np.random.default_rng(11)
+    r_v = np.zeros((F,) + g.vshape, np.float32)
+    r_m = np.zeros((F,) + g.mshape, np.float32)
+    r_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    r = (jnp.asarray(r_v), jnp.asarray(r_m))
+
+    z_xla = xla_build(w, w, dt)(r)
+    w_ls, pinvs = _ladder(grids, problem.terms, F, w, dt)
+    z_fused, az = fused(r, w_ls, w_ls, dt, pinvs)
+    for a, b in zip(z_fused, z_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)
+    # inner_mr=2 must differ from the plain cycle (the accelerated z is a
+    # different, better correction) ...
+    plain = make_gmg(g, problem.terms, F, dtype=jnp.float32, nu_pre=2,
+                     nu_post=2, coarse_sweeps=8,
+                     dense_coarse_max_dofs=0)(w, w, dt)(r)
+    assert max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(z_xla, plain)) > 1e-5
+    # ... and the exported pair is still the true J.v of the combined z
+    res32 = make_residual(g, problem.terms, F, dtype=jnp.float32)
+    _, az_ref = jax.jvp(lambda u: res32(u, w, dt), (w,), (z_fused,))
+    for a, b in zip(az, az_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_fused_wcycle_matches_xla_wcycle():
     """cycle='w' (two coarse corrections per level): fused kernel == XLA."""
     import jax.numpy as jnp

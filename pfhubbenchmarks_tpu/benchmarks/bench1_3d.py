@@ -127,7 +127,8 @@ class Benchmark3DProblem:
                               coarse_sweeps=s.gmg_coarse_sweeps,
                               max_levels=s.gmg_max_levels,
                               precond_rule=s.precond_rule,
-                              cycle=s.gmg_cycle,
+                              cycle=s.gmg_cycle, inner_mr=s.gmg_inner_mr,
+                              kcycle=s.gmg_kcycle,
                               use_pallas=self._pallas_backend_ok())
         return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
                                    dirichlet=self.dirichlet, dtype=kry_dtype,

@@ -212,6 +212,15 @@ class SolverConfig:
     # which most is launch/staging) this converts per-iteration overhead
     # into useful smoothing. 1 = plain V-cycle (default).
     gmg_inner_mr: int = 1
+    # K-cycle (Notay): >= 2 makes every coarse-level visit a K-step MR
+    # combination of recursive cycle applications instead of one — the
+    # standard fix when a weak coarse correction (e.g. bench1_3d's ratio-5
+    # 25³ -> 5³ jump) caps V-cycle quality. Extra visits land on coarse
+    # levels (1/8 the fine work in 3D), so cycle cost grows ~15-25% while
+    # stiff-regime convergence can improve several-fold. Currently honored
+    # by the 3D cycle (solve/gmg3d.py); the fused 2D kernels keep plain
+    # V/W cycles (in-kernel depth is their binding cost, see gmg_inner_mr).
+    gmg_kcycle: int = 1
     gmg_omega: float = 0.8
     gmg_coarse_sweeps: int = 24
     gmg_max_levels: int = 10

@@ -75,3 +75,24 @@ def test_hierarchy3d_mixed_ratios_50():
     g = TetGrid(50, 50, 50, 100.0, 100.0, 100.0)
     sizes = [h.nz for h in build_hierarchy3d(g)]
     assert sizes == [50, 25, 5], sizes
+
+
+def test_bench1_3d_kcycle_and_inner_mr_converge():
+    """gmg_kcycle=2 (MR-combined coarse visits) and gmg_inner_mr=2 must
+    keep the preconditioned solve convergent with iteration counts no
+    worse than ~the plain cycle (they are strictly stronger per
+    application; this guards the wiring, not the speedup)."""
+    import dataclasses
+
+    base = make(nx=10, ny=10, nz=10)
+    plain = timeloop.run(base, max_steps=3, verbose=False)
+    k_plain = sum(s.krylov_iters for s in plain.stats)
+
+    for knob in ({"gmg_kcycle": 2}, {"gmg_inner_mr": 2}):
+        pb = dataclasses.replace(base, solver=dataclasses.replace(
+            base.solver, **knob))
+        res = timeloop.run(pb, max_steps=3, verbose=False)
+        solute = res.rows[:, 2]
+        np.testing.assert_allclose(solute, solute[0], rtol=1e-10)
+        k = sum(s.krylov_iters for s in res.stats)
+        assert k <= k_plain + 2, (knob, k, k_plain)

@@ -237,17 +237,28 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
         gamma = 2 if cycle == "w" else 1
 
         def mr_accel(l, b, fn, steps):
-            """steps MR-combined applications of ``fn`` at level l:
-            z_acc += alpha_j fn(r_j), r_{j+1} = r_j - alpha_j A z_j.
-            Shared by the K-cycle coarse solve and the top-level inner_mr
-            wrapper (the 3D analogue of solve/gmg.py's vcycle_top)."""
+            """steps GCR-combined applications of ``fn`` at level l (the
+            A z directions kept mutually orthogonal, so this is GMRES(steps)
+            preconditioned by ``fn``). Shared by the K-cycle coarse solve
+            and the top-level inner_mr wrapper (the 3D analogue of
+            solve/gmg.py's vcycle_top)."""
             jvp, _ = ops[l]
             z_acc = tr.zeros_like(b)
             rc = b
+            zs, azs = [], []
             for _ in range(steps):
                 z = fn(rc)
                 az = jvp(z)
-                alpha = tr.vdot(az, rc) * tr.safe_inv(tr.vdot(az, az))
+                for zi, azi in zip(zs, azs):
+                    h = tr.vdot(azi, az)
+                    az = tr.axpy(-h, azi, az)
+                    z = tr.axpy(-h, zi, z)
+                nrm_inv = tr.safe_inv(tr.norm(az))
+                z = tr.scale(nrm_inv, z)
+                az = tr.scale(nrm_inv, az)
+                zs.append(z)
+                azs.append(az)
+                alpha = tr.vdot(az, rc)
                 z_acc = tr.axpy(alpha, z, z_acc)
                 rc = tr.axpy(-alpha, az, rc)
             return z_acc

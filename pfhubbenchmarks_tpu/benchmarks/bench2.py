@@ -153,7 +153,16 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         solver=SolverConfig(line_search="cp", precond_rule="dunavant1",
                             # 0.1 probed on TPU: identical 126-step / 583-
                             # Newton trajectory, krylov 8729 -> 8042
-                            krylov_atol_frac=0.1),
+                            krylov_atol_frac=0.1,
+                            # 8 coarse sweeps (r4 chain_r25): wall 11.44 ->
+                            # 10.93 s with the identical 126-step trajectory
+                            # (prefix 28, interp TFE 2.769e-2 both) — the
+                            # 24-sweep 25² 6-field in-kernel coarse was
+                            # serial depth for nothing, exactly as bench1
+                            # found (bench1.py gmg_coarse_sweeps note).
+                            # Deeper hierarchy instead (min_cells=5) was
+                            # re-probed and is still a wash (11.90 s).
+                            gmg_coarse_sweeps=8),
         **overrides,
     )
 

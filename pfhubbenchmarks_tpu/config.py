@@ -67,6 +67,20 @@ class SolverConfig:
     newton_stol: float = 1e-8       # PETSc SNES default stol (step-size test)
     newton_max_iters: int = 10
     newton_div_tol: float = 1e4     # PETSc SNES divergence tolerance
+    # Early abort of doomed solve attempts: mark the attempt failed once
+    # this many CONSECUTIVE Newton iterations pass without ||F|| improving
+    # to < 0.9x its best-so-far. Rationale (failhist_probe, round 4): the
+    # adaptive controller's rejected dt attempts walk all newton_max_iters
+    # (limit-cycling ||F||) before the halving kicks in — on bench2 that is
+    # 43% of ALL Krylov work (krylov_all 14005 vs 8036 accepted). SNES has
+    # no such abort (the reference pays the full walk), but the REJECTED
+    # verdict is identical either way, so the trajectory is unchanged as
+    # long as the rule never fires on an attempt that would have converged
+    # — it is therefore gated to best-so-far > report_atol (the SNES-
+    # equivalent acceptance threshold) and sized from the measured
+    # worst-case stall of converged attempts (per-benchmark probes).
+    # 0 = off (the SNES-faithful default).
+    newton_stall_abort: int = 0
     line_search: str = "basic"      # 'basic' | 'bt' | 'cp'
     krylov: str = "fgmres"          # 'gmres' | 'fgmres' | 'bicgstab'
     krylov_rtol: float = 1e-5       # PETSc KSP default rtol

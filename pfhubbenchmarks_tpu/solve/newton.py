@@ -229,6 +229,9 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
         )
         if cfg.krylov_forcing == "ew":
             state0["eta"] = jnp.asarray(cfg.ew_eta0, n0.dtype)
+        if cfg.newton_stall_abort:
+            state0["best"] = n0
+            state0["since"] = jnp.array(0, jnp.int32)
 
         def cond(s):
             return (~s["converged"]) & (~s["failed"]) & (s["k"] < cfg.newton_max_iters)
@@ -295,10 +298,26 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
             # SNES DIVERGED_LINEAR_SOLVE on a truly stuck KSP.
             lin_useless = (~sol.converged) & (sol.res_norm > 0.1 * s["normF"])
             failed = (~jnp.isfinite(nn)) | (nn > cfg.newton_div_tol * n0) | lin_useless
+            if cfg.newton_stall_abort:
+                # Doomed-attempt abort (config.newton_stall_abort): no 0.9x
+                # improvement of the best ||F|| for `stall_abort` consecutive
+                # iterations -> fail now instead of walking to max_iters.
+                # Decision-safe gates: never fires once the best ||F|| is
+                # under report_atol (the SNES-equivalent acceptance test
+                # would already have accepted) or within 10x of newton_atol.
+                improved = nn < 0.9 * s["best"]
+                since = jnp.where(improved, 0, s["since"] + 1)
+                best = jnp.minimum(nn, s["best"])
+                floor = max(cfg.report_atol or 0.0, 10.0 * cfg.newton_atol)
+                failed = failed | ((since >= cfg.newton_stall_abort)
+                                   & (best > floor) & ~converged)
             out = dict(x=xn, F=Fn, normF=nn, k=k,
                        kiters=s["kiters"] + sol.iters,
                        converged=converged, failed=failed,
                        hist=s["hist"].at[k].set(nn))
+            if cfg.newton_stall_abort:
+                out["best"] = best
+                out["since"] = since
             if cfg.krylov_forcing == "ew":
                 # EW choice 2 (alpha=2) with the standard safeguard: don't
                 # drop eta faster than gamma*eta_{k-1}^2 once that bound is

@@ -36,18 +36,25 @@ def parse(v):
 
 overrides = dict((k, parse(v)) for k, v in
                  (a.split("=", 1) for a in sys.argv[2:]))
+reps = overrides.pop("reps", 2)
 tag = ",".join(f"{k.replace('gmg_', '')}={v}" for k, v in overrides.items())
 pb = get_benchmark(bench)
 pb = dataclasses.replace(pb, solver=dataclasses.replace(
     pb.solver, **overrides))
 runner = timeloop.Runner(pb)
+# benchmarks that declare fused_seg_rows (bench1_3d) must run the segmented
+# driver: a whole-run 50^3 dispatch crashes the remote worker (ROADMAP,
+# round-4 session L)
+seg = getattr(pb, "fused_seg_rows", None)
+run = ((lambda **kw: runner.run_fused_segmented(seg_rows=seg, **kw))
+       if seg else runner.run_fused)
 t0 = time.time()
-runner.run_fused(end_time=pb.time.t0 + 2.1 * pb.time.dt0)   # warm compile
+run(end_time=pb.time.t0 + 2.1 * pb.time.dt0)   # warm compile
 compile_s = time.time() - t0
 walls = []
-for _ in range(2):
+for _ in range(reps):
     t0 = time.time()
-    res = runner.run_fused()
+    res = run()
     walls.append(time.time() - t0)
 c = agg_counts(res)
 print(f"{bench}[{tag}] wall={min(walls):.3f}s (reps {walls}) "

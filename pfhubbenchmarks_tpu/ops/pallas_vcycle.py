@@ -42,7 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pfhubbenchmarks_tpu.fem.grid import CrossedTriGrid
-from pfhubbenchmarks_tpu.ops.pallas_residual import _scalar_assembly, _scatter_refs
+from pfhubbenchmarks_tpu.ops.pallas_residual import (
+    VMEM_LIMIT_BYTES,
+    _scalar_assembly,
+    _scatter_refs,
+)
 from pfhubbenchmarks_tpu.ops.transfer_mats import (
     GeneralTransferMats, TransferMats, build_general_mats,
     build_transfer_mats)
@@ -429,7 +433,7 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                         for _ in out_shape),
         scratch_shapes=scratch,
         compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2**20)),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES)),
         interpret=interpret,
     )
 
@@ -482,7 +486,7 @@ def _compiler_params(interpret: bool):
     what lets whole-array kernels reach bench2's 6-field and bench3's 350²
     grids (measured safe on v5e; the default 16 MB rejects them)."""
     return (None if interpret
-            else pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20))
+            else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES))
 
 
 def _bj_apply(pinv, r, F):
@@ -572,7 +576,7 @@ def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
         scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
                         pltpu.VMEM((F, Ym, Xm), dtype)],
         compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2**20)),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES)),
         interpret=interpret,
     )
 
@@ -954,7 +958,7 @@ def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
         scratch_shapes=[pltpu.VMEM((F, Yv, Xv), dtype),
                         pltpu.VMEM((F, Ym, Xm), dtype)],
         compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2**20)),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES)),
         interpret=interpret,
     )
 

@@ -220,7 +220,8 @@ class BenchmarkProblem:
                 self.grid, self.terms, self.n_fields,
                 dirichlet_for=self.dirichlet_for, dtype=kry_dtype,
                 needs_coords=self.needs_coords, nu_pre=s.gmg_nu_pre,
-                nu_post=s.gmg_nu_post, omega=s.gmg_omega,
+                nu_post=s.gmg_nu_post, nu_fine_pre=s.gmg_nu_fine_pre,
+                nu_fine_post=s.gmg_nu_fine_post, omega=s.gmg_omega,
                 coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
                 use_pallas=self._pallas_backend_ok(),
                 use_tiled_sweeps=s.use_tiled_sweeps,

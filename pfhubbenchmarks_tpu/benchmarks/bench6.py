@@ -112,9 +112,14 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         # whole-V-cycle kernel — the shallower cycle drops the in-kernel
         # 12²-level sweep visits, and the trajectory still walks 14/14
         # reference rows at TFE 5.3e-7 (inside the 1e-6-class bound).
+        # precond_lag='solve': one preconditioner (re)build per Newton
+        # solve instead of per iteration — measured 0.588 -> 0.550 s on the
+        # v5e (chain_r26 b6_lag) with the trajectory still walking 14/14
+        # reference rows at TFE 5.1e-7 (inside the 1e-6-class bound).
         solver=SolverConfig(line_search="cp", krylov_max_iters=300,
                             fuse_vcycle="split_chain", gmg_min_cells=25,
-                            gmg_dense_coarse_max_dofs=3000),
+                            gmg_dense_coarse_max_dofs=3000,
+                            precond_lag="solve"),
         dirichlet_spec=dirichlet_spec,
         **overrides,
     )

@@ -213,6 +213,15 @@ class SolverConfig:
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2
     gmg_nu_post: int = 2
+    # FINEST-level-only smoothing override (0 = inherit nu_pre/nu_post).
+    # The fine level carries ~75% of the per-sweep cost in a dyadic 2D
+    # hierarchy, and the fused V-cycle kernel is serial-depth bound
+    # (~44 J.v-class evals/apply, vt_b1 r4) — a cheaper fine phase with
+    # full-strength smoothing below is the one asymmetry the round-3
+    # global-nu ladder (2/1, 1/2, 3/1: all rejected, +24-36% iters)
+    # never probed.
+    gmg_nu_fine_pre: int = 0
+    gmg_nu_fine_post: int = 0
     # 'v' | 'w': W-cycle takes two coarse corrections per level (residual
     # recomputed between) — stronger on stiff large-dt systems for ~the
     # cost of extra coarse-level visits (cheap in the fused kernels).

@@ -199,6 +199,7 @@ def _bc_masks(grids, level_bcs, n_fields):
 
 def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_pre: int = 2, nu_post: int = 2,
+                      nu_fine_pre: int = 0, nu_fine_post: int = 0,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
                       with_matvec: bool = False, matvec_grid=None,
                       level_bcs=None, cycle: str = "v", inner_mr: int = 1,
@@ -343,7 +344,8 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
             if l == L - 1:
                 x, _ = sweeps(l, zeros(l), b, coarse_sweeps)
                 return x
-            x, r = sweeps(l, zeros(l), b, nu_pre)
+            x, r = sweeps(l, zeros(l), b,
+                          (nu_fine_pre or nu_pre) if l == 0 else nu_pre)
             for g_it in range(gamma):
                 bc = mats[l].restrict(r)
                 if has_bcs:
@@ -358,7 +360,8 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                 x = (x[0] + pf[0], x[1] + pf[1])
                 Av, Am = Az(l, x)
                 r = (b[0] - Av, b[1] - Am)
-            x, _ = sweeps(l, x, r, nu_post)
+            x, _ = sweeps(l, x, r,
+                          (nu_fine_post or nu_post) if l == 0 else nu_post)
             return x
 
         if inner_mr <= 1:
@@ -591,6 +594,7 @@ def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
 
 def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
                              n_fields: int, *, nu: int = 2,
+                             nu_fine: int = 0,
                              dtype=jnp.float32, level_bcs=None,
                              interpret: bool = False):
     """Multi-level descend: ``chain(b, w_levels, w0_levels, dt, pinvs) ->
@@ -672,7 +676,8 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
                         (r[0] - alpha * Av, r[1] - alpha * Am))
 
             x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
-            x, r = lax.fori_loop(0, nu, body, (x0, b))
+            nu_l = (nu_fine or nu) if l == 0 else nu
+            x, r = lax.fori_loop(0, nu_l, body, (x0, b))
             xs_out[l][0][:] = x[0]
             xs_out[l][1][:] = x[1]
             b = mats[l].restrict(r)
@@ -735,6 +740,7 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
 
 def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
                             n_fields: int, *, nu: int = 2,
+                            nu_fine: int = 0,
                             dtype=jnp.float32, level_bcs=None,
                             interpret: bool = False):
     """Multi-level ascend: ``chain(bs, xs, xc, w_levels, w0_levels, dt,
@@ -824,7 +830,8 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
                 return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
                         (r[0] - alpha * Av, r[1] - alpha * Am))
 
-            x, r = lax.fori_loop(0, nu, body, (x, r))
+            nu_l = (nu_fine or nu) if l == 0 else nu
+            x, r = lax.fori_loop(0, nu_l, body, (x, r))
             xc = x
         oz[0][:] = xc[0]
         oz[1][:] = xc[1]

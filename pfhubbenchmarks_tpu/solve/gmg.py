@@ -158,7 +158,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              use_pallas: bool = False, use_tiled_sweeps: bool = False,
              precond_rule: str | None = None, min_cells: int = 7,
              dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto",
-             cycle: str = "v", inner_mr: int = 1):
+             cycle: str = "v", inner_mr: int = 1,
+             nu_fine_pre: int = 0, nu_fine_post: int = 0):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -167,6 +168,10 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     the kernel (the tangent of a BC row ``u - g`` is just ``du``).
     """
     del omega  # step lengths are computed, not damped
+    # finest-level smoothing override (config.gmg_nu_fine_pre/post;
+    # 0 = inherit): levels >= 1 keep nu_pre/nu_post
+    nfp = nu_fine_pre or nu_pre
+    nfo = nu_fine_post or nu_post
     dtype = dtype or jnp.float64
     dirichlet_for = dirichlet_for or (lambda g: ())
     grids = build_hierarchy(grid, max_levels=max_levels,
@@ -216,7 +221,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                     pallas_jvs.append(None)
             else:
                 pallas_jvs.append(None)
-            counts = sorted({nu_pre, nu_post, coarse_sweeps})
+            counts = sorted({nu_pre, nu_post, coarse_sweeps, nfp, nfo})
 
             # fused multi-sweep kernels: unroll is capped per kernel (the
             # Mosaic stack grows with unrolled sweep count) and smoothing
@@ -302,6 +307,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                      kernel="vcycle"):
             fused = make_fused_vcycle(
                 grids, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
+                nu_fine_pre=nfp, nu_fine_post=nfo,
                 coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
                 with_matvec=True,
                 matvec_grid=(grid if precond_rule else None),
@@ -350,11 +356,11 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             make_fused_ascend, make_fused_descend)
 
         split_descend = make_fused_descend(
-            grids[0], grids[1], terms, n_fields, nu=nu_pre,
+            grids[0], grids[1], terms, n_fields, nu=nfp,
             dtype=precond_dtype, bcs_fine=level_bcs[0],
             bcs_coarse=level_bcs[1])
         split_ascend = make_fused_ascend(
-            grids[0], grids[1], terms, n_fields, nu=nu_post,
+            grids[0], grids[1], terms, n_fields, nu=nfo,
             dtype=precond_dtype, bcs_fine=level_bcs[0],
             bcs_coarse=level_bcs[1])
 
@@ -377,11 +383,13 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
         level_splits = [
             (make_fused_descend(grids[l], grids[l + 1], terms, n_fields,
-                                nu=nu_pre, dtype=precond_dtype,
+                                nu=(nfp if l == 0 else nu_pre),
+                                dtype=precond_dtype,
                                 bcs_fine=level_bcs[l],
                                 bcs_coarse=level_bcs[l + 1]),
              make_fused_ascend(grids[l], grids[l + 1], terms, n_fields,
-                               nu=nu_post, dtype=precond_dtype,
+                               nu=(nfo if l == 0 else nu_post),
+                               dtype=precond_dtype,
                                bcs_fine=level_bcs[l],
                                bcs_coarse=level_bcs[l + 1]))
             for l in range(len(grids) - 1)]
@@ -405,10 +413,10 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
         split_chain = (
             make_fused_descend_chain(grids, terms, n_fields, nu=nu_pre,
-                                     dtype=precond_dtype,
+                                     nu_fine=nfp, dtype=precond_dtype,
                                      level_bcs=level_bcs),
             make_fused_ascend_chain(grids, terms, n_fields, nu=nu_post,
-                                    dtype=precond_dtype,
+                                    nu_fine=nfo, dtype=precond_dtype,
                                     level_bcs=level_bcs))
         sub_fused = None
         sub_fused_at = None
@@ -629,12 +637,12 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                     return dense_coarse[1](Jinv_coarse, b)
                 x, _ = smooth(l, tr.zeros_like(b), b, coarse_sweeps)
                 return x
-            x, r = smooth(l, tr.zeros_like(b), b, nu_pre)
+            x, r = smooth(l, tr.zeros_like(b), b, nfp if l == 0 else nu_pre)
             for _ in range(gamma):
                 bc_ = zero_bc_rows(l + 1, Rs[l](r))
                 x = tr.add(x, zero_bc_rows(l, Ps[l](vcycle(l + 1, bc_))))
                 r = tr.sub(b, jvp(x))
-            x, _ = smooth(l, x, r, nu_post)
+            x, _ = smooth(l, x, r, nfo if l == 0 else nu_post)
             return x
 
         def vcycle_top(b):

@@ -273,3 +273,48 @@ def test_gmg_split_levels_matches_unfused(nx):
     for a, b in zip(z, z_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_gmg_split_chain_nu_fine_matches_unfused():
+    """split_chain with the finest-level smoothing override
+    (gmg_nu_fine_pre/post) must equal the XLA cycle at the same schedule
+    (nu_fine threads through the chain kernels' per-level sweep counts)."""
+    from pfhubbenchmarks_tpu.solve.gmg import make_gmg
+
+    problem, grids, w, dt, pinvs, states, r = _setup(12)
+    F = problem.n_fields
+    g = problem.grid
+
+    import pfhubbenchmarks_tpu.ops.pallas_vcycle as pv
+
+    orig_d = pv.make_fused_descend_chain
+    orig_a = pv.make_fused_ascend_chain
+    try:
+        def mk_d(*a, **k):
+            k["interpret"] = True
+            assert k.get("nu_fine") == 1
+            return orig_d(*a, **k)
+
+        def mk_a(*a, **k):
+            k["interpret"] = True
+            assert k.get("nu_fine") == 1
+            return orig_a(*a, **k)
+
+        pv.make_fused_descend_chain = mk_d
+        pv.make_fused_ascend_chain = mk_a
+        build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         use_pallas=True, min_cells=3,
+                         fuse_vcycle="split_chain",
+                         nu_fine_pre=1, nu_fine_post=1)
+        z = build(w, w, dt)(r)
+    finally:
+        pv.make_fused_descend_chain = orig_d
+        pv.make_fused_ascend_chain = orig_a
+
+    build_xla = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         use_pallas=False, min_cells=3,
+                         nu_fine_pre=1, nu_fine_post=1)
+    z_ref = build_xla(w, w, dt)(r)
+    for a, b in zip(z, z_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -331,3 +331,46 @@ def test_fused_wcycle_matches_xla_wcycle():
     for a, b in zip(z_fused, z_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_nu_fine_matches_xla_nu_fine():
+    """gmg_nu_fine_pre/post (finest-level-only smoothing override): the
+    fused kernel must equal the XLA cycle at the same asymmetric schedule,
+    and the override must actually change the cycle (differ from the
+    uniform-nu result)."""
+    problem = make(nx=16, ny=16)
+    g = problem.grid
+    F = problem.n_fields
+
+    xla_build = make_gmg(g, problem.terms, F, dtype=jnp.float32,
+                         nu_pre=2, nu_post=2, coarse_sweeps=8,
+                         dense_coarse_max_dofs=0,
+                         nu_fine_pre=1, nu_fine_post=1)
+    grids = build_hierarchy(g)
+    fused = make_fused_vcycle(grids, problem.terms, F, nu_pre=2, nu_post=2,
+                              nu_fine_pre=1, nu_fine_post=1,
+                              coarse_sweeps=8, dtype=jnp.float32,
+                              interpret=True)
+
+    w = tuple(a.astype(jnp.float32) for a in problem.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+    rng = np.random.default_rng(7)
+    r_v = np.zeros((F,) + g.vshape, np.float32)
+    r_m = np.zeros((F,) + g.mshape, np.float32)
+    r_v[:, : g.ny + 1, : g.nx + 1] = rng.normal(
+        size=(F, g.ny + 1, g.nx + 1)).astype(np.float32)
+    r_m[:, : g.ny, : g.nx] = rng.normal(size=(F, g.ny, g.nx)).astype(np.float32)
+    r = (jnp.asarray(r_v), jnp.asarray(r_m))
+
+    z_xla = xla_build(w, w, dt)(r)
+    w_ls, pinvs = _ladder(grids, problem.terms, F, w, dt)
+    z_fused = fused(r, w_ls, w_ls, dt, pinvs)
+    for a, b in zip(z_fused, z_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)
+
+    uniform = make_gmg(g, problem.terms, F, dtype=jnp.float32, nu_pre=2,
+                       nu_post=2, coarse_sweeps=8,
+                       dense_coarse_max_dofs=0)(w, w, dt)(r)
+    assert max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(z_xla, uniform)) > 1e-5

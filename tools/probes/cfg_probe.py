@@ -60,5 +60,11 @@ c = agg_counts(res)
 print(f"{bench}[{tag}] wall={min(walls):.3f}s (reps {walls}) "
       f"compile={compile_s:.0f}s {c}", flush=True)
 ref = f"/root/reference/results/{bench.split('@')[0]}_out.csv"
+if not os.path.exists(ref):
+    # no reference golden (3D benchmarks): self-consistency check against
+    # our own committed trajectory so config probes still surface curve
+    # regressions (label says so)
+    ref = f"/root/repo/results/{bench.split('@')[0]}_out.csv"
+    tag += " [vs committed self-trajectory]"
 if os.path.exists(ref):
     traj_check(res.rows, ref, f"{bench} {tag}")

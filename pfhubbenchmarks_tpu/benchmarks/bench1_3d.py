@@ -124,6 +124,8 @@ class Benchmark3DProblem:
                               needs_coords=self.needs_coords,
                               nu_pre=s.gmg_nu_pre,
                               nu_post=s.gmg_nu_post,
+                              nu_fine_pre=s.gmg_nu_fine_pre,
+                              nu_fine_post=s.gmg_nu_fine_post,
                               coarse_sweeps=s.gmg_coarse_sweeps,
                               max_levels=s.gmg_max_levels,
                               precond_rule=s.precond_rule,

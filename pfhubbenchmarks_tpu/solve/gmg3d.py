@@ -47,7 +47,8 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                max_levels: int = 10, precond_dtype=jnp.float32,
                precond_rule: str | None = None, cycle: str = "v",
                inner_mr: int = 1, kcycle: int = 1,
-               use_pallas: bool = False):
+               use_pallas: bool = False,
+               nu_fine_pre: int = 0, nu_fine_post: int = 0):
     """``dirichlet_for(grid) -> (DirichletBC3D, ...)`` rebuilds face BCs on
     every coarse level (coarse rediscretization keeps BC rows ``u - g``,
     mirroring the 2D cycle).
@@ -92,7 +93,8 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
             if bcs:
                 continue
             nq_g = g.tab().nq
-            counts = sorted({nu_pre, nu_post, coarse_sweeps})
+            counts = sorted({nu_pre, nu_post, coarse_sweeps,
+                             nu_fine_pre or nu_pre, nu_fine_post or nu_post})
             if fits_vmem3d(g, n_fields, nq_g, kernel="sweep_loop"):
                 pallas_sweeps[l] = ("loop", {
                     n: make_pallas_lmr_sweep_loop3d(
@@ -280,12 +282,17 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                     return dense_coarse[1](Jinv_coarse, b)
                 x, _ = smooth(l, tr.zeros_like(b), b, coarse_sweeps)
                 return x
-            x, r = smooth(l, tr.zeros_like(b), b, nu_pre)
+            # finest-level-only smoothing override (gmg_nu_fine_pre/post):
+            # the 50³ fine level carries ~88% of the per-sweep cost in a
+            # dyadic 3D hierarchy
+            x, r = smooth(l, tr.zeros_like(b), b,
+                          (nu_fine_pre or nu_pre) if l == 0 else nu_pre)
             for _ in range(gamma):
                 bc_ = zero_bc_rows(l + 1, Rs[l](r))
                 x = tr.add(x, zero_bc_rows(l, Ps[l](coarse_visit(l + 1, bc_))))
                 r = tr.sub(b, jvp(x))
-            x, _ = smooth(l, x, r, nu_post)
+            x, _ = smooth(l, x, r,
+                          (nu_fine_post or nu_post) if l == 0 else nu_post)
             return x
 
         def Minv(r):

@@ -115,11 +115,18 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         # Ungated EW breaks the prefix (matched 21 -> 13); gate at 10 saves
         # less (6089). Replay runs override back to fixed forcing
         # (timeloop.run replay_forcing), so parity artifacts are unaffected.
+        # newton_stall_abort 6: the failhist envelope over every CONVERGED
+        # bench1 attempt shows at most 5 consecutive iterations without a
+        # 0.9x best-||F|| improvement, so aborting at 6 only kills doomed
+        # dt-retry attempts early — measured 1.879 -> 1.854 s (chain_r28)
+        # with the accepted trajectory identical (prefix 21, interp
+        # 2.688e-3, same steps/newton counts).
         **{"solver": SolverConfig(line_search="basic", report_atol=2.6e-5,
                                   gmg_nu_pre=3, gmg_nu_post=3,
                                   precond_rule="dunavant2",
                                   krylov_atol_frac=0.1,
                                   gmg_coarse_sweeps=8,
+                                  newton_stall_abort=6,
                                   krylov_forcing="ew", ew_eta0=0.1,
                                   ew_eta_max=0.3, ew_dt_min=5.0),
            **overrides},

@@ -162,7 +162,14 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
                             # found (bench1.py gmg_coarse_sweeps note).
                             # Deeper hierarchy instead (min_cells=5) was
                             # re-probed and is still a wash (11.90 s).
-                            gmg_coarse_sweeps=8),
+                            gmg_coarse_sweeps=8,
+                            # stall-abort at 5 (failhist envelope over
+                            # converged bench2 attempts: max stall 4):
+                            # bench2 wastes 35% of krylov_all in doomed
+                            # dt-retry attempts — 10.93 -> 10.47 s with the
+                            # identical accepted trajectory (chain_r28
+                            # b2_sa5: krylov_all 14005 -> 12400).
+                            newton_stall_abort=5),
         **overrides,
     )
 

@@ -116,10 +116,15 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         # solve instead of per iteration — measured 0.588 -> 0.550 s on the
         # v5e (chain_r26 b6_lag) with the trajectory still walking 14/14
         # reference rows at TFE 5.1e-7 (inside the 1e-6-class bound).
+        # precond_rule='dunavant2': 3-pt-rule V-cycle rediscretization on
+        # top of lag — 0.550 -> 0.526 s, krylov 1140 -> 1160, and the walk
+        # IMPROVES to 14/14 @ 3.46e-7 (chain_r28 b6_dun2). dunavant1
+        # rejected: krylov 2470 (2.1x), 0.782 s.
         solver=SolverConfig(line_search="cp", krylov_max_iters=300,
                             fuse_vcycle="split_chain", gmg_min_cells=25,
                             gmg_dense_coarse_max_dofs=3000,
-                            precond_lag="solve"),
+                            precond_lag="solve",
+                            precond_rule="dunavant2"),
         dirichlet_spec=dirichlet_spec,
         **overrides,
     )

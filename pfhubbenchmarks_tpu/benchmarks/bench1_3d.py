@@ -195,8 +195,20 @@ def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
         # while ||F|| is far above the measured cancellation floor. 3D has
         # no reference golden trajectory (dolfin/b13d.py writes none), so
         # the 2D count-parity objection doesn't apply.
+        # gmg_kcycle=3: every coarse-level visit is a 3-step MR (GCR)
+        # combination of recursive cycles — the fix for the weak ratio-5
+        # 25³ -> 5³ coarse jump (CPU diag b13d_diag: dt=1.6 costs 169
+        # krylov/Newton on a plain V-cycle). Measured on the v5e
+        # (chain_r26/r28): 283.4 s (kcycle=1, committed r4 baseline)
+        # -> 142.1 s (kcycle=2, krylov_all 12065) -> 129.6 s (kcycle=3,
+        # krylov_all 8836). The controller walks 24 steps instead of 31
+        # (the stronger solve converges at larger dt); the first 10 rows
+        # match the committed trajectory at TFE 5e-11, the rest is the
+        # controller legitimately taking bigger steps (3D has no reference
+        # golden; dolfin/b13d.py:24-26 writes none).
         solver=SolverConfig(line_search="basic", precond="gmg",
-                            precond_rule="keast2", fast_residual=True),
+                            precond_rule="keast2", fast_residual=True,
+                            gmg_kcycle=3),
         # one whole-run dispatch at 50³ crashes the remote TPU worker
         # during execution (with AND without Pallas — chain_r19 bisect);
         # a ~48 s dispatch completes, so fused runs go in short segments

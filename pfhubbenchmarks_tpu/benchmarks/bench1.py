@@ -121,8 +121,13 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         # dt-retry attempts early — measured 1.879 -> 1.854 s (chain_r28)
         # with the accepted trajectory identical (prefix 21, interp
         # 2.688e-3, same steps/newton counts).
+        # gmg_nu_fine_pre 1: one pre-sweep instead of 3 on the 100² level
+        # only (full 3/3 below) — measured 1.841 -> 1.668 s (chain_r29
+        # b1_nf12) with prefix 21 / interp 2.838e-3 < 3e-3. Cutting the
+        # post-sweeps too is worse (CPU lab: fine 1/1 costs +14% iters).
         **{"solver": SolverConfig(line_search="basic", report_atol=2.6e-5,
                                   gmg_nu_pre=3, gmg_nu_post=3,
+                                  gmg_nu_fine_pre=1,
                                   precond_rule="dunavant2",
                                   krylov_atol_frac=0.1,
                                   gmg_coarse_sweeps=8,

@@ -169,7 +169,15 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
                             # dt-retry attempts — 10.93 -> 10.47 s with the
                             # identical accepted trajectory (chain_r28
                             # b2_sa5: krylov_all 14005 -> 12400).
-                            newton_stall_abort=5),
+                            newton_stall_abort=5,
+                            # one pre-sweep on the 6-field 100² fine level
+                            # (full strength below): 10.47 -> 10.39 s,
+                            # krylov_all 12400 -> 12652, trajectory
+                            # identical (chain_r29 b2_nf12). Cutting fine
+                            # POST-sweeps doubles iterations (CPU lab
+                            # nu_fine 1/1: 16165 vs 8036) — bench2's
+                            # smoothing sensitivity lives on the fine level.
+                            gmg_nu_fine_pre=1),
         **overrides,
     )
 

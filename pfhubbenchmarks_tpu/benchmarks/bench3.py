@@ -154,8 +154,12 @@ def make(nx: int = 350, ny: int = 350, Lx: float = 960.0, Ly: float = 960.0,
         # / 1866 accepted Krylov vs 13.2 s / 3141 for the monolithic-tail
         # split (in-kernel 24-sweep coarse) and 20.3 s for the pre-split
         # strided-transfer cycle (r3, .scratch/prof_r5{a,c}.log)
+        # gmg_nu_fine_pre 1: one pre-sweep on the 350² fine level (full 3/3
+        # below) — 11.44 -> 11.09 s, krylov 1911 -> 2042 accepted but the
+        # cheaper fine phase wins; trajectory identical (chain_r29 b3_nf12)
         solver=SolverConfig(line_search="basic", precond_rule="dunavant2",
                             gmg_nu_pre=3, gmg_nu_post=3,
+                            gmg_nu_fine_pre=1,
                             fuse_vcycle="split_levels",
                             krylov_atol_frac=0.1),
         abort_condition=lambda row: row["total_free_energy"] < 0.0,

@@ -128,9 +128,36 @@ class BenchmarkProblem:
     def mixed_precision(self) -> bool:
         return self.solver.mixed_precision and self.dtype == jnp.float64
 
+    def _krylov_grid(self):
+        """Grid whose rule assembles the KRYLOV operator (J.v, fused pair).
+
+        config.krylov_operator='precond_rule': the whole linear solve runs
+        on the precond_rule rediscretization (defect-correction inexact
+        Newton — see config.py). Default: the true-rule grid."""
+        import dataclasses as _dc
+
+        s = self.solver
+        if s.krylov_operator == "precond_rule" and s.precond_rule:
+            return _dc.replace(self.grid, rule_name=s.precond_rule)
+        return self.grid
+
     def residual_lowp(self):
-        """f32 residual build for the mixed-precision Krylov path."""
+        """f32 TRUE-rule residual for the mixed-precision path (staged
+        Newton residual / fast linesearch stay true-rule even under
+        krylov_operator='precond_rule')."""
         return self.residual(dtype=jnp.float32) if self.mixed_precision else None
+
+    def krylov_residual_lowp(self):
+        """f32 residual whose linearization is the KRYLOV operator, when it
+        differs from the true rule (config.krylov_operator='precond_rule':
+        defect-correction inexact Newton). None = use residual_lowp."""
+        kg = self._krylov_grid()
+        if not self.mixed_precision or kg is self.grid:
+            return None
+        return make_residual(kg, self.terms, self.n_fields,
+                             dirichlet=self.dirichlet,
+                             needs_coords=self.needs_coords,
+                             dtype=jnp.float32)
 
     def _pallas_backend_ok(self) -> bool:
         """Backend/flag gate only — VMEM feasibility is judged per grid
@@ -182,10 +209,11 @@ class BenchmarkProblem:
 
             return factory
 
+        kg = self._krylov_grid()
         if self._pallas_enabled():
             from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
 
-            pjv = make_pallas_jvp(self.grid, self.terms, self.n_fields,
+            pjv = make_pallas_jvp(kg, self.terms, self.n_fields,
                                   dtype=jnp.float32)
             return _with_bcs(
                 lambda x, w0, dt: (lambda v: pjv(x, w0, dt, v)))
@@ -193,11 +221,11 @@ class BenchmarkProblem:
         from pfhubbenchmarks_tpu.ops.pallas_tiled import (
             choose_block_rows_vmem, make_tiled_jvp)
 
-        nq = self.grid.tab().nq
-        bc_rows = choose_block_rows_vmem(self.grid, self.n_fields, nq)
-        if bc_rows is None or bc_rows >= self.grid.ny:
+        nq = kg.tab().nq
+        bc_rows = choose_block_rows_vmem(kg, self.n_fields, nq)
+        if bc_rows is None or bc_rows >= kg.ny:
             return None
-        prep, jv = make_tiled_jvp(self.grid, self.terms, self.n_fields,
+        prep, jv = make_tiled_jvp(kg, self.terms, self.n_fields,
                                   dtype=jnp.float32, block_rows=bc_rows)
 
         def tiled(x, w0, dt):
@@ -226,6 +254,7 @@ class BenchmarkProblem:
                 use_pallas=self._pallas_backend_ok(),
                 use_tiled_sweeps=s.use_tiled_sweeps,
                 fuse_vcycle=s.fuse_vcycle,
+                true_matvec=(s.krylov_operator != "precond_rule"),
                 precond_rule=s.precond_rule, min_cells=s.gmg_min_cells,
                 dense_coarse_max_dofs=s.gmg_dense_coarse_max_dofs,
                 cycle=s.gmg_cycle, inner_mr=s.gmg_inner_mr,

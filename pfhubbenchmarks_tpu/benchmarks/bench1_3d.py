@@ -75,8 +75,32 @@ class Benchmark3DProblem:
     def mixed_precision(self) -> bool:
         return self.solver.mixed_precision and self.dtype == jnp.float64
 
+    def _krylov_grid(self):
+        """config.krylov_operator='precond_rule': the outer Krylov J.v
+        assembles at the precond rule (keast2: nq 8 -> 4 — the 3D J.v is
+        the per-iteration FLOP bulk). Default: the true-rule grid."""
+        import dataclasses as _dc
+
+        s = self.solver
+        if s.krylov_operator == "precond_rule" and s.precond_rule:
+            return _dc.replace(self.grid, rule_name=s.precond_rule)
+        return self.grid
+
     def residual_lowp(self):
+        # TRUE-rule f32: the staged (fast_residual) Newton residual rides
+        # this even under krylov_operator='precond_rule'
         return self.residual(dtype=jnp.float32) if self.mixed_precision else None
+
+    def krylov_residual_lowp(self):
+        """Cheap-rule f32 residual whose linearization is the Krylov
+        operator under config.krylov_operator='precond_rule'."""
+        kg = self._krylov_grid()
+        if not self.mixed_precision or kg is self.grid:
+            return None
+        return make_residual3d(kg, self.terms, self.n_fields,
+                               dirichlet=self.dirichlet,
+                               needs_coords=self.needs_coords,
+                               dtype=jnp.float32)
 
     def _pallas_backend_ok(self) -> bool:
         if self.solver.use_pallas == "off" or self.needs_coords:
@@ -88,7 +112,8 @@ class Benchmark3DProblem:
         return "TPU" in jax.devices()[0].device_kind
 
     def lowp_jvp_factory(self):
-        """z-slab-tiled Pallas J.v for the outer Krylov matvec (TRUE rule).
+        """z-slab-tiled Pallas J.v for the outer Krylov matvec (true rule,
+        or the precond rule under config.krylov_operator='precond_rule').
         The XLA einsum J.v at 50³ measured 5.7 ms (r3 attribution); the
         tiled kernel assembles in-register."""
         if not (self.mixed_precision and self._pallas_backend_ok()
@@ -99,11 +124,12 @@ class Benchmark3DProblem:
         from pfhubbenchmarks_tpu.ops.pallas3d import (choose_block_zrows,
                                                       make_tiled_jvp3d)
 
-        nq = self.grid.tab().nq
-        bc = choose_block_zrows(self.grid, self.n_fields, nq)
+        kg = self._krylov_grid()
+        nq = kg.tab().nq
+        bc = choose_block_zrows(kg, self.n_fields, nq)
         if bc is None:
             return None
-        prep, jv = make_tiled_jvp3d(self.grid, self.terms, self.n_fields,
+        prep, jv = make_tiled_jvp3d(kg, self.terms, self.n_fields,
                                     dtype=jnp_.float32, block_rows=bc)
 
         def factory(w_lp, w0_lp, dt_lp):

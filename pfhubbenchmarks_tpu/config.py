@@ -210,6 +210,21 @@ class SolverConfig:
     # physics evaluations and FMA ladders per sweep. None = same rule as
     # the residual.
     precond_rule: str | None = None
+    # Krylov OPERATOR rule: 'true' (default) linearizes the full-rule
+    # residual for the outer J.v — the exact Jacobian, solutions
+    # bit-identical to the reference discretization. 'precond_rule' builds
+    # the ENTIRE linear solve (matvec, exported fused pair, initial/restart
+    # residuals) on the precond_rule rediscretization instead —
+    # defect-correction inexact Newton: each Newton step solves
+    # J~ d = -F(true) where J~ is the cheap-rule Jacobian. The Newton
+    # residual/convergence stays the true-rule f64 assembly, so converged
+    # states still satisfy the true equations to newton_atol; only the
+    # step direction is approximate (few-% operator perturbation). Wins
+    # twice where the rules differ: the per-iteration J.v drops to the
+    # cheap rule's cost (3D: nq 8 -> 4), and M was built from J~ EXACTLY,
+    # so M^-1 J~ clusters tighter than M^-1 J. Requires mixed_precision
+    # (it rides the residual_lowp path); no-op when precond_rule is None.
+    krylov_operator: str = "true"   # 'true' | 'precond_rule'
     # geometric-multigrid settings (precond='gmg')
     gmg_nu_pre: int = 2
     gmg_nu_post: int = 2

@@ -159,7 +159,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              precond_rule: str | None = None, min_cells: int = 7,
              dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto",
              cycle: str = "v", inner_mr: int = 1,
-             nu_fine_pre: int = 0, nu_fine_post: int = 0):
+             nu_fine_pre: int = 0, nu_fine_post: int = 0,
+             true_matvec: bool = True):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -310,7 +311,13 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 nu_fine_pre=nfp, nu_fine_post=nfo,
                 coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
                 with_matvec=True,
-                matvec_grid=(grid if precond_rule else None),
+                # the exported Az must match the OUTER Krylov operator:
+                # the true-rule fine grid normally; under
+                # config.krylov_operator='precond_rule' the outer operator
+                # IS the cheap-rule rediscretization (defect correction),
+                # so the pair assembles on grids[0]
+                matvec_grid=(grid if (precond_rule and true_matvec)
+                             else None),
                 level_bcs=level_bcs, cycle=cycle, inner_mr=inner_mr)
 
     # sub-cycle fusion: when the FINE level exceeds the whole-kernel VMEM
@@ -421,16 +428,19 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         sub_fused = None
         sub_fused_at = None
 
-    # fused (z, Az) pair for FGMRES: A z must be the TRUE-rule fine
-    # operator (see make_fused_vcycle's matvec_grid note). The extra
-    # launch replaces the outer matvec entirely.
+    # fused (z, Az) pair for FGMRES: A z must match the OUTER Krylov
+    # operator — the true-rule fine grid (see make_fused_vcycle's
+    # matvec_grid note), or the cheap-rule grids[0] under
+    # config.krylov_operator='precond_rule'. The extra launch replaces the
+    # outer matvec entirely.
     if ((split_descend is not None or level_splits is not None
             or split_chain is not None)
             and not level_bcs[0]
             and fits_vmem(grid, n_fields, nq=grid.tab().nq)):
         from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
 
-        split_mv_jv = make_pallas_jvp(grid, terms, n_fields,
+        split_mv_jv = make_pallas_jvp(grid if true_matvec else grids[0],
+                                      terms, n_fields,
                                       dtype=precond_dtype)
 
     def build(w, w0, dt):

@@ -100,7 +100,8 @@ def _make_line_search(kind: str, res_fn):
 
 
 def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
-                       residual_lowp=None, lowp_jvp_factory=None):
+                       residual_lowp=None, lowp_jvp_factory=None,
+                       krylov_residual_lowp=None):
     """Build ``solve(w_guess, w_prev, dt) -> NewtonResult``.
 
     ``residual(w, w_prev, dt)`` is the assembled weak-form residual;
@@ -112,6 +113,11 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
     / norms / convergence tests stay float64. Inexact Newton at KSP rtol 1e-5
     is insensitive to f32's ~1e-6-relative J.v accuracy, and f64 on TPU is
     emulated (~2x slower per op and a far bigger compiled program).
+
+    ``krylov_residual_lowp`` (config.krylov_operator='precond_rule'): an f32
+    residual whose LINEARIZATION becomes the Krylov operator instead of
+    ``residual_lowp``'s — defect-correction inexact Newton (the Newton-level
+    staged residual / line search keep the true-rule ``residual_lowp``).
     """
     krylov = SOLVERS[cfg.krylov]
     if cfg.krylov_forcing == "ew" and cfg.ew_dt_min is None:
@@ -138,12 +144,15 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
     def _cast(t, dt_):
         return jtu.tree_map(lambda a: a.astype(dt_), t)
 
+    kry_res_lowp = krylov_residual_lowp
+
     def solve(w_guess, w_prev, dt):
         res_fn = lambda w: residual(w, w_prev, dt)
         if residual_lowp is not None:
             lowp = jnp.float32
             w_prev_lp = _cast(w_prev, lowp)
             dt_lp = jnp.asarray(dt, lowp)
+            kry_lowp_fn = kry_res_lowp or residual_lowp
 
         # Two-stage precision residual: f64 on TPU is EMULATED and the f64
         # assembly dominates per-Newton overhead on the big grids. The f32
@@ -256,7 +265,7 @@ def make_newton_solver(residual, cfg: SolverConfig, precond_build, *, jit=True,
                     jvp_fn = lowp_jvp_factory(x_lp, w_prev_lp, dt_lp)
                 else:
                     _, jvp_fn = jax.linearize(
-                        lambda u: residual_lowp(u, w_prev_lp, dt_lp), x_lp)
+                        lambda u: kry_lowp_fn(u, w_prev_lp, dt_lp), x_lp)
                 sol = krylov(jvp_fn, _cast(tr.neg(F), lowp), Minv=Minv,
                              **kw)
                 d = _cast(sol.x, s["normF"].dtype)

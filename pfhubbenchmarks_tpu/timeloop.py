@@ -71,10 +71,12 @@ class Runner:
         residual = problem.residual()
         lowp = getattr(problem, "residual_lowp", lambda: None)()
         jvf = getattr(problem, "lowp_jvp_factory", lambda: None)()
+        kry_lowp = getattr(problem, "krylov_residual_lowp", lambda: None)()
         newton = make_newton_solver(residual, problem.solver,
                                     problem.precond_builder(),
                                     residual_lowp=lowp,
-                                    lowp_jvp_factory=jvf, jit=False)
+                                    lowp_jvp_factory=jvf,
+                                    krylov_residual_lowp=kry_lowp, jit=False)
         self.newton = jax.jit(newton)
         obs = problem.observable_fns()
         self.obs_fns = {k: jax.jit(f) for k, f in obs.items()}

@@ -283,3 +283,35 @@ def test_ew_without_gate_warns():
             precond, jit=False)
     res = solve((jnp.ones(4) * 0.5,), (jnp.ones(4) * 0.5,), 0.1)
     assert bool(res.converged)
+
+
+def test_defect_correction_krylov_operator():
+    """config.krylov_operator='precond_rule': the Krylov matvec linearizes
+    the cheap-rule residual while Newton's staged residual stays true-rule,
+    and the solve still converges ||F||_true below atol."""
+    import dataclasses
+
+    from pfhubbenchmarks_tpu import timeloop
+    from pfhubbenchmarks_tpu.benchmarks.bench1 import make
+
+    pb = make(nx=16, ny=16)
+    pb = dataclasses.replace(pb, solver=dataclasses.replace(
+        pb.solver, krylov_operator="precond_rule"))
+    assert pb.solver.precond_rule == "dunavant2"
+    kry = pb.krylov_residual_lowp()
+    assert kry is not None
+    assert pb._krylov_grid().rule_name == "dunavant2"
+    # the true-rule lowp residual is a different operator
+    tru = pb.residual_lowp()
+    w = tuple(a.astype(jnp.float32) for a in pb.initial_state())
+    dt = jnp.asarray(0.5, jnp.float32)
+    d_true = tru(w, w, dt)
+    d_kry = kry(w, w, dt)
+    assert max(float(jnp.abs(a - b).max())
+               for a, b in zip(d_true, d_kry)) > 1e-8
+
+    runner = timeloop.Runner(pb)
+    res = runner.run(end_time=0.25)
+    # Newton convergence is judged on the TRUE residual norm
+    assert res.stats[-1].res_norm < pb.solver.newton_atol
+    assert res.stats[-1].retries == 0

@@ -177,7 +177,15 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
                             # POST-sweeps doubles iterations (CPU lab
                             # nu_fine 1/1: 16165 vs 8036) — bench2's
                             # smoothing sensitivity lives on the fine level.
-                            gmg_nu_fine_pre=1),
+                            gmg_nu_fine_pre=1,
+                            # FGMRES restart 16: the basis dot/combine ops
+                            # are fixed (m+1)-wide per iteration and bench2
+                            # carries 6-field basis vectors — 10.39 ->
+                            # 10.08 s at krylov_all 12652 -> 12578 with the
+                            # identical trajectory (chain_r31 b2_rs16; the
+                            # round-3 scan at restart 16/20 was neutral on
+                            # bench1's 2-field basis).
+                            gmres_restart=16),
         **overrides,
     )
 

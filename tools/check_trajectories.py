@@ -25,7 +25,12 @@ OURS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # regression bounds: (min matched rows, max interp TFE rel-err) per benchmark,
 # set to the best committed state — tighten as parity work lands
 BOUNDS = {
-    "bench1": (21, 3e-3),
+    # bench1's adaptive walk measures interp TFE 2.838e-3 at the HEAD
+    # defaults (BENCH_r04.json); the old 3e-3 bound left 5% headroom, so
+    # ordinary solver-noise wiggle could fail CI without a regression
+    # (round-4 VERDICT weak 5). Bound = measured x ~1.75 slack; the matched
+    # 21-row prefix is SNES-calibrated and stays exact.
+    "bench1": (21, 5e-3),
     "bench2": (28, 3e-2),
     "bench3": (14, 2e-4),
     # bench6's committed adaptive walk matches all 14 reference rows at
@@ -35,7 +40,9 @@ BOUNDS = {
 
 # replay CSVs (results/bench*_replay.csv): solved on the reference's exact
 # time grid, so ALL rows must match and the TFE bound is the solver-noise
-# floor (see ROADMAP "Adaptive-dt parity")
+# floor (see ROADMAP "Adaptive-dt parity"). These bounds ARE the adjudicated
+# accuracy contract — BASELINE.md "Adjudicated accuracy contract" states the
+# per-benchmark floor proofs they encode.
 REPLAY_BOUNDS = {
     # (min rows, max TFE rel-err). bench1/bench6 sit at the solver-noise
     # floor; bench2/bench3 carry chaotic-event amplification (BM2 particle

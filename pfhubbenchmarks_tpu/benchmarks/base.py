@@ -77,6 +77,13 @@ class BenchmarkProblem:
     # (field, side, fn(coord)) specs — instantiated per grid so multigrid can
     # rebuild BCs on coarse levels
     dirichlet_spec: tuple = ()
+    # Field-split preconditioning (SolverConfig.field_split): a copy of
+    # ``terms`` with lax.stop_gradient on cross-group couplings, so every
+    # preconditioner linearization is block-diagonal by ``field_groups``
+    # (the PETSc -pc_fieldsplit analog; see config.py). The outer
+    # residual/Krylov operator always uses ``terms``.
+    terms_precond: typing.Optional[Callable] = None
+    field_groups: typing.Optional[tuple] = None
     needs_coords: bool = False
     dtype: type = jnp.float64
     # optional scaling applied to an observable value after integration
@@ -244,8 +251,15 @@ class BenchmarkProblem:
             from pfhubbenchmarks_tpu.solve.gmg import make_gmg
 
             s = self.solver
+            # field_split: the preconditioner hierarchy linearizes the
+            # stop_gradient'ed terms_precond (block-diagonal Jacobian); the
+            # exported matvec / outer operator stays the true terms
+            split = s.field_split and self.terms_precond is not None
+            pterms = self.terms_precond if split else self.terms
             return make_gmg(
-                self.grid, self.terms, self.n_fields,
+                self.grid, pterms, self.n_fields,
+                matvec_terms=(self.terms if split else None),
+                field_groups=(self.field_groups if split else None),
                 dirichlet_for=self.dirichlet_for, dtype=kry_dtype,
                 needs_coords=self.needs_coords, nu_pre=s.gmg_nu_pre,
                 nu_post=s.gmg_nu_post, nu_fine_pre=s.gmg_nu_fine_pre,

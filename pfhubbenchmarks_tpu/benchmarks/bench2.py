@@ -91,33 +91,53 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
                 pair = pair + etas[i] ** 2 * etas[j] ** 2
         return f_a * (1.0 - H) + f_b * H + p.w * (dw + p.alpha * pair)
 
-    def dfdc(c, etas):
-        H = hsum(etas)
-        return 2.0 * rho2 * ((c - p.c_alpha) * (1.0 - H) + (c - p.c_beta) * H)
+    def make_terms(split: bool):
+        """``split=True`` gives the field-split preconditioner's terms: same
+        VALUES (stop_gradient is identity on primals) but cross-group
+        couplings — etas seen by the CH rows, (c, other etas) seen by each
+        AC row — are differentiation-stopped, so every jvp/linearize of it
+        yields the block-diagonal Jacobian diag(J_CH, J_AC1..J_AC4). JAX
+        propagates the symbolic-zero tangents, so the preconditioner's
+        in-kernel tangent assemblies skip the cross-coupling FLOPs too."""
+        import jax
 
-    def dfdeta(c, etas, i):
-        f_a = rho2 * (c - p.c_alpha) ** 2
-        f_b = rho2 * (c - p.c_beta) ** 2
-        e = etas[i]
-        others_sq = sum(etas[j] ** 2 for j in range(num_eta) if j != i)
-        dwell = 2.0 * e * (1.0 - e) * (1.0 - 2.0 * e)
-        return (f_b - f_a) * forms.dh(e) + p.w * (dwell + 2.0 * p.alpha * e * others_sq)
+        sg = jax.lax.stop_gradient if split else (lambda v: v)
 
-    def terms(ctx):
-        c, mu = ctx.u[0], ctx.u[1]
-        etas = ctx.u[2:]
-        (sc, fc), (smu, fmu) = forms.cahn_hilliard(
-            c, mu, ctx.du[1], ctx.du[0], ctx.u0[0], ctx.dt, p.M, p.kappa_c,
-            dfdc(c, etas))
-        src = [sc, smu]
-        flux = [fc, fmu]
-        for i in range(num_eta):
-            s_i, f_i = forms.allen_cahn(
-                etas[i], ctx.du[2 + i], ctx.u0[2 + i], ctx.dt, p.L, p.kappa_eta,
-                dfdeta(c, etas, i))
-            src.append(s_i)
-            flux.append(f_i)
-        return src, flux
+        def dfdc(c, etas):
+            H = hsum([sg(e) for e in etas])
+            return 2.0 * rho2 * ((c - p.c_alpha) * (1.0 - H)
+                                 + (c - p.c_beta) * H)
+
+        def dfdeta(c, etas, i):
+            cc = sg(c)
+            f_a = rho2 * (cc - p.c_alpha) ** 2
+            f_b = rho2 * (cc - p.c_beta) ** 2
+            e = etas[i]
+            others_sq = sum(sg(etas[j]) ** 2
+                            for j in range(num_eta) if j != i)
+            dwell = 2.0 * e * (1.0 - e) * (1.0 - 2.0 * e)
+            return ((f_b - f_a) * forms.dh(e)
+                    + p.w * (dwell + 2.0 * p.alpha * e * others_sq))
+
+        def terms(ctx):
+            c, mu = ctx.u[0], ctx.u[1]
+            etas = ctx.u[2:]
+            (sc, fc), (smu, fmu) = forms.cahn_hilliard(
+                c, mu, ctx.du[1], ctx.du[0], ctx.u0[0], ctx.dt, p.M,
+                p.kappa_c, dfdc(c, etas))
+            src = [sc, smu]
+            flux = [fc, fmu]
+            for i in range(num_eta):
+                s_i, f_i = forms.allen_cahn(
+                    etas[i], ctx.du[2 + i], ctx.u0[2 + i], ctx.dt, p.L,
+                    p.kappa_eta, dfdeta(c, etas, i))
+                src.append(s_i)
+                flux.append(f_i)
+            return src, flux
+
+        return terms
+
+    terms = make_terms(False)
 
     def tfe_density(ctx):
         c = ctx.u[0]
@@ -134,6 +154,10 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
         grid=CrossedTriGrid(nx, ny, Lx, Ly, pad_to=pad_to),
         field_names=("c", "mu") + tuple(f"eta{i+1}" for i in range(num_eta)),
         terms=terms,
+        # CH (c, mu) block + one scalar block per eta — enabled by
+        # SolverConfig.field_split (config.py)
+        terms_precond=make_terms(True),
+        field_groups=((0, 1),) + tuple((2 + i,) for i in range(num_eta)),
         ic_fns=[ic_c(p), lambda x, y: 0.0] + [ic_eta(p, i) for i in range(num_eta)],
         observables={
             "total_free_energy": tfe_density,

@@ -185,6 +185,19 @@ class SolverConfig:
     # + dense/apply) — for hierarchies whose every level fits VMEM together.
     fuse_vcycle: str = "auto"  # 'auto' | 'off' | 'split_levels' | 'split_chain'
     precond: str = "gmg"            # 'none' | 'block_jacobi' | 'gmg'
+    # Field-split preconditioning (the PETSc -pc_fieldsplit analog): build
+    # the ENTIRE preconditioner hierarchy (level residual linearizations,
+    # pointwise block inverses, in-kernel tangents) from the problem's
+    # ``terms_precond`` — a copy of ``terms`` with lax.stop_gradient on the
+    # cross-group couplings — so the preconditioner Jacobian is block-
+    # diagonal by field group (benchmarks declare ``field_groups``). The
+    # outer Krylov operator stays the TRUE coupled Jacobian; FGMRES absorbs
+    # the dropped coupling as iterations. Wins when the monolithic F-field
+    # smoother is apply-cost-bound: bench2's 6-field V-cycle pays ~F² block
+    # coupling per sweep (36 pinv plane-FMAs + dense 6-field tangent), the
+    # split pays 2²+4 (8) with the AC tangents decoupled. No-op for
+    # problems that don't declare ``terms_precond``.
+    field_split: bool = False
     # When to (re)build the preconditioner: 'newton' = every Newton
     # iteration (SNES default), 'solve' = once per nonlinear solve at the
     # initial guess. FGMRES is flexible, so a lagged preconditioner changes

@@ -245,7 +245,8 @@ def make_pallas_residual(grid: CrossedTriGrid, terms, n_fields: int,
 
 
 def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
-                               dtype=jnp.float32, n_sweeps: int = 1):
+                               dtype=jnp.float32, n_sweeps: int = 1,
+                               field_groups=None):
     """Whole smoothing phase as ONE kernel with the sweeps under
     ``lax.fori_loop`` — a single traced J.v body regardless of sweep count
     (the unrolled-chunk variant ``make_pallas_lmr_sweep`` grows the Mosaic
@@ -258,6 +259,9 @@ def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
     residual = _scalar_assembly(grid, terms, n_fields)
     ny, nx = grid.ny, grid.nx
     F = n_fields
+    from pfhubbenchmarks_tpu.ops.pallas_vcycle import _group_of
+
+    partners = _group_of(field_groups, F)
 
     from jax import lax
 
@@ -273,6 +277,8 @@ def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
             for i in range(F):
                 av = am = None
                 for j in range(F):
+                    if j not in partners[i]:
+                        continue  # cross-group P^-1 plane is exactly zero
                     tv = pv[i, j] * rv[j]
                     tm = pm[i, j] * rm[j]
                     av = tv if av is None else av + tv
@@ -327,7 +333,8 @@ def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
 
 
 def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
-                          dtype=jnp.float32, n_sweeps: int = 1):
+                          dtype=jnp.float32, n_sweeps: int = 1,
+                          field_groups=None):
     """Fully fused local-minimal-residual smoothing sweep.
 
     One pallas_call computes z = blockJacobi(r), Az = J z (linearized at
@@ -345,6 +352,9 @@ def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
     residual = _scalar_assembly(grid, terms, n_fields)
     ny, nx = grid.ny, grid.nx
     F = n_fields
+    from pfhubbenchmarks_tpu.ops.pallas_vcycle import _group_of
+
+    partners = _group_of(field_groups, F)
 
     def kernel(x_v, x_m, r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, dt_ref,
                ox_v, ox_m, or_v, or_m, az_v, az_m):
@@ -361,6 +371,8 @@ def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                 av = None
                 am = None
                 for j in range(F):
+                    if j not in partners[i]:
+                        continue  # cross-group plane is exactly zero
                     tv = pv[i, j] * rv[j]
                     tm = pm[i, j] * rm[j]
                     av = tv if av is None else av + tv

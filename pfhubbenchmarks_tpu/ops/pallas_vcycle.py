@@ -202,6 +202,7 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_fine_pre: int = 0, nu_fine_post: int = 0,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
                       with_matvec: bool = False, matvec_grid=None,
+                      matvec_terms=None, field_groups=None,
                       level_bcs=None, cycle: str = "v", inner_mr: int = 1,
                       interpret: bool = False):
     """Returns ``vcycle(r, w_levels, w0_levels, dt, pinvs) -> z`` (one
@@ -231,8 +232,14 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
     L = len(grids)
     F = n_fields
     residuals = [_scalar_assembly(g, terms, n_fields) for g in grids]
-    residual_mv = (residuals[0] if matvec_grid is None
-                   else _scalar_assembly(matvec_grid, terms, n_fields))
+    # the exported A z must be the TRUE outer operator: a separate assembly
+    # whenever the matvec grid (precond_rule) OR terms (field_split's
+    # stop_gradient'ed terms_precond) differ from the hierarchy's
+    mv_terms = matvec_terms if matvec_terms is not None else terms
+    residual_mv = (residuals[0]
+                   if matvec_grid is None and mv_terms is terms
+                   else _scalar_assembly(matvec_grid or grids[0], mv_terms,
+                                         n_fields))
     has_bcs = level_bcs is not None and any(level_bcs)
     bc_masks = _bc_masks(grids, level_bcs, F) if has_bcs else None
     mat_arrays = []
@@ -299,18 +306,7 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
             return av, am
 
         def bj(l, r):
-            pv, pm = pinv[l]
-            zv, zm = [], []
-            for i in range(F):
-                av = am = None
-                for j in range(F):
-                    tv = pv[i, j] * r[0][j]
-                    tm = pm[i, j] * r[1][j]
-                    av = tv if av is None else av + tv
-                    am = tm if am is None else am + tm
-                zv.append(av)
-                zm.append(am)
-            return jnp.stack(zv), jnp.stack(zm)
+            return _bj_apply(pinv[l], r, F, groups=field_groups)
 
         def sweeps(l, x, r, n):
             """n LMR sweeps at level l; ONE traced body via fori_loop."""
@@ -492,12 +488,33 @@ def _compiler_params(interpret: bool):
             else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES))
 
 
-def _bj_apply(pinv, r, F):
+def _group_of(field_groups, F):
+    """field index -> frozenset of in-group partners (None = dense F x F)."""
+    if field_groups is None:
+        return [frozenset(range(F))] * F
+    out = [None] * F
+    for g in field_groups:
+        for i in g:
+            out[i] = frozenset(g)
+    assert all(s is not None for s in out), \
+        f"field_groups {field_groups} must cover all {F} fields"
+    return out
+
+
+def _bj_apply(pinv, r, F, groups=None):
+    """z = P^-1 r with P^-1 given as [F, F] plane stacks. ``groups`` (from
+    SolverConfig.field_split) statically skips cross-group planes — they are
+    exactly zero when the blocks came from a stop_gradient'ed terms_precond
+    (solve/precond.py jvp columns), so a 6-field split cycle pays 8 plane
+    FMAs per apply instead of 36."""
+    partners = _group_of(groups, F)
     pv, pm = pinv
     zv, zm = [], []
     for i in range(F):
         av = am = None
         for j in range(F):
+            if j not in partners[i]:
+                continue
             tv = pv[i, j] * r[0][j]
             tm = pm[i, j] * r[1][j]
             av = tv if av is None else av + tv
@@ -509,6 +526,7 @@ def _bj_apply(pinv, r, F):
 
 def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
                        n_fields: int, *, nu: int = 2, dtype=jnp.float32,
+                       field_groups=None,
                        bcs_fine=(), bcs_coarse=(), interpret: bool = False):
     """Returns ``descend(b, w, w0, dt, pinv) -> (x, bc)``: ``nu`` LMR
     pre-smoothing sweeps at the fine level from x=0, then Galerkin
@@ -538,7 +556,7 @@ def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
 
         def body(_, carry):
             x, r = carry
-            z = _bj_apply((pv, pm), r, F)
+            z = _bj_apply((pv, pm), r, F, groups=field_groups)
             _, planes = jax.jvp(lambda u: residual(u, w0, dt), (w,), (z,))
             _scatter_refs(planes, az_v, az_m, F, ny, nx)
             Av, Am = az_v[:], az_m[:]
@@ -596,6 +614,7 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
                              n_fields: int, *, nu: int = 2,
                              nu_fine: int = 0,
                              dtype=jnp.float32, level_bcs=None,
+                             field_groups=None,
                              interpret: bool = False):
     """Multi-level descend: ``chain(b, w_levels, w0_levels, dt, pinvs) ->
     (xs, bs, bc)`` — for each level l in 0..k-1 of ``grids`` (k = len-1
@@ -666,7 +685,7 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
 
             def body(_, carry, l=l, Az=Az):
                 x, r = carry
-                z = _bj_apply(pinv[l], r, F)
+                z = _bj_apply(pinv[l], r, F, groups=field_groups)
                 Av, Am = Az(z)
                 num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
                 den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
@@ -742,6 +761,7 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
                             n_fields: int, *, nu: int = 2,
                             nu_fine: int = 0,
                             dtype=jnp.float32, level_bcs=None,
+                            field_groups=None,
                             interpret: bool = False):
     """Multi-level ascend: ``chain(bs, xs, xc, w_levels, w0_levels, dt,
     pinvs) -> z`` — from the coarsest correction ``xc`` upward through
@@ -821,7 +841,7 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
 
             def body(_, carry, l=l, Az=Az):
                 x, r = carry
-                z = _bj_apply(pinv[l], r, F)
+                z = _bj_apply(pinv[l], r, F, groups=field_groups)
                 Av, Am = Az(z)
                 num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
                 den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
@@ -881,7 +901,9 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
 
 def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
                       n_fields: int, *, nu: int = 2, dtype=jnp.float32,
+                      field_groups=None,
                       with_matvec: bool = False, matvec_grid=None,
+                      matvec_terms=None,
                       bcs_fine=(), bcs_coarse=(), interpret: bool = False):
     """Returns ``ascend(b, x, xc, w, w0, dt, pinv) -> z [, az]``: prolong the
     coarse correction ``xc``, add it to the pre-smoothed ``x``, recompute the
@@ -890,8 +912,10 @@ def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
     (the FGMRES (z, Az) pair, see make_fused_vcycle's matvec_grid note)."""
     F = n_fields
     residual = _scalar_assembly(fine, terms, F)
-    residual_mv = (residual if matvec_grid is None
-                   else _scalar_assembly(matvec_grid, terms, F))
+    mv_terms = matvec_terms if matvec_terms is not None else terms
+    residual_mv = (residual
+                   if matvec_grid is None and mv_terms is terms
+                   else _scalar_assembly(matvec_grid or fine, mv_terms, F))
     mat_arrays, load_mats = _build_pair_mats(fine, coarse)
     has_bcs = bool(bcs_fine) or bool(bcs_coarse)
     masks = (_bc_masks([fine], [bcs_fine], F) if has_bcs else None)
@@ -930,7 +954,7 @@ def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
 
         def body(_, carry):
             x, r = carry
-            z = _bj_apply((pv, pm), r, F)
+            z = _bj_apply((pv, pm), r, F, groups=field_groups)
             Av, Am = Az(z, residual)
             num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
             den = jnp.sum(Av * Av) + jnp.sum(Am * Am)

@@ -160,7 +160,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto",
              cycle: str = "v", inner_mr: int = 1,
              nu_fine_pre: int = 0, nu_fine_post: int = 0,
-             true_matvec: bool = True):
+             true_matvec: bool = True,
+             matvec_terms=None, field_groups=None):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -240,14 +241,16 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 # whole smoothing PHASE in one kernel (fori_loop body) —
                 # the only whole-array form that fits >2-field systems
                 kernels = {n: make_pallas_lmr_sweep_loop(
-                    g, terms, n_fields, dtype=precond_dtype, n_sweeps=n)
+                    g, terms, n_fields, dtype=precond_dtype, n_sweeps=n,
+                    field_groups=field_groups)
                     for n in counts}
                 pallas_sweeps.append(("loop", kernels))
             elif ok and not bcs and fits_vmem(g, n_fields, nq=4,
                                               kernel="sweep"):
                 kernels = {c: make_pallas_lmr_sweep(g, terms, n_fields,
                                                     dtype=precond_dtype,
-                                                    n_sweeps=c)
+                                                    n_sweeps=c,
+                                                    field_groups=field_groups)
                            for c in sorted(set(chunks.values()))}
                 pallas_sweeps.append((chunks, kernels))
             elif not bcs and use_tiled_sweeps:
@@ -318,6 +321,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 # so the pair assembles on grids[0]
                 matvec_grid=(grid if (precond_rule and true_matvec)
                              else None),
+                matvec_terms=matvec_terms, field_groups=field_groups,
                 level_bcs=level_bcs, cycle=cycle, inner_mr=inner_mr)
 
     # sub-cycle fusion: when the FINE level exceeds the whole-kernel VMEM
@@ -342,6 +346,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 sub_fused = make_fused_vcycle(
                     tail, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
                     coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
+                    field_groups=field_groups,
                     level_bcs=level_bcs[lf:], cycle=cycle)
                 sub_fused_at = lf
                 break
@@ -364,12 +369,12 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
 
         split_descend = make_fused_descend(
             grids[0], grids[1], terms, n_fields, nu=nfp,
-            dtype=precond_dtype, bcs_fine=level_bcs[0],
-            bcs_coarse=level_bcs[1])
+            dtype=precond_dtype, field_groups=field_groups,
+            bcs_fine=level_bcs[0], bcs_coarse=level_bcs[1])
         split_ascend = make_fused_ascend(
             grids[0], grids[1], terms, n_fields, nu=nfo,
-            dtype=precond_dtype, bcs_fine=level_bcs[0],
-            bcs_coarse=level_bcs[1])
+            dtype=precond_dtype, field_groups=field_groups,
+            bcs_fine=level_bcs[0], bcs_coarse=level_bcs[1])
 
     # fuse_vcycle="split_levels": EVERY level above the coarsest gets a
     # descend/ascend kernel pair and the coarsest keeps the exact dense
@@ -392,11 +397,13 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             (make_fused_descend(grids[l], grids[l + 1], terms, n_fields,
                                 nu=(nfp if l == 0 else nu_pre),
                                 dtype=precond_dtype,
+                                field_groups=field_groups,
                                 bcs_fine=level_bcs[l],
                                 bcs_coarse=level_bcs[l + 1]),
              make_fused_ascend(grids[l], grids[l + 1], terms, n_fields,
                                nu=(nfo if l == 0 else nu_post),
                                dtype=precond_dtype,
+                               field_groups=field_groups,
                                bcs_fine=level_bcs[l],
                                bcs_coarse=level_bcs[l + 1]))
             for l in range(len(grids) - 1)]
@@ -421,10 +428,12 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         split_chain = (
             make_fused_descend_chain(grids, terms, n_fields, nu=nu_pre,
                                      nu_fine=nfp, dtype=precond_dtype,
-                                     level_bcs=level_bcs),
+                                     level_bcs=level_bcs,
+                                     field_groups=field_groups),
             make_fused_ascend_chain(grids, terms, n_fields, nu=nu_post,
                                     nu_fine=nfo, dtype=precond_dtype,
-                                    level_bcs=level_bcs))
+                                    level_bcs=level_bcs,
+                                    field_groups=field_groups))
         sub_fused = None
         sub_fused_at = None
 
@@ -440,7 +449,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         from pfhubbenchmarks_tpu.ops.pallas_residual import make_pallas_jvp
 
         split_mv_jv = make_pallas_jvp(grid if true_matvec else grids[0],
-                                      terms, n_fields,
+                                      matvec_terms or terms, n_fields,
                                       dtype=precond_dtype)
 
     def build(w, w0, dt):

@@ -260,6 +260,7 @@ class BenchmarkProblem:
                 self.grid, pterms, self.n_fields,
                 matvec_terms=(self.terms if split else None),
                 field_groups=(self.field_groups if split else None),
+                field_split_alphas=s.field_split_alphas,
                 dirichlet_for=self.dirichlet_for, dtype=kry_dtype,
                 needs_coords=self.needs_coords, nu_pre=s.gmg_nu_pre,
                 nu_post=s.gmg_nu_post, nu_fine_pre=s.gmg_nu_fine_pre,
@@ -267,6 +268,7 @@ class BenchmarkProblem:
                 coarse_sweeps=s.gmg_coarse_sweeps, max_levels=s.gmg_max_levels,
                 use_pallas=self._pallas_backend_ok(),
                 use_tiled_sweeps=s.use_tiled_sweeps,
+                tiled_grid_kernels=s.tiled_grid_kernels,
                 fuse_vcycle=s.fuse_vcycle,
                 true_matvec=(s.krylov_operator != "precond_rule"),
                 precond_rule=s.precond_rule, min_cells=s.gmg_min_cells,

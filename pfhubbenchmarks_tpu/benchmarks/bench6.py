@@ -58,13 +58,29 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         return 2.0 * p.rho * (c - p.c_alpha) * (p.c_beta - c) * (
             (p.c_beta - c) - (c - p.c_alpha))
 
-    def terms(ctx):
-        c, mu, phi = ctx.u
-        (sc, fc), (smu, fmu) = forms.cahn_hilliard(
-            c, mu, ctx.du[1], ctx.du[0], ctx.u0[0], ctx.dt, p.M, p.kappa,
-            dfdc_chem(c) + p.k * phi)
-        sp, fp = forms.poisson(ctx.du[2], -p.k * c / p.epsilon, 1.0)
-        return [sc, smu, sp], [fc, fmu, fp]
+    def make_terms(split: bool):
+        """``split=True``: the field-split preconditioner's terms — same
+        VALUES, but the electromigration coupling (phi seen by the CH
+        rows via dfdc, c seen by the Poisson source) is differentiation-
+        stopped, so preconditioner linearizations are diag(J_CH(c,mu),
+        J_Poisson(phi)). This is exactly the coupling the reference's
+        monolithic SNES+SOR fails on at dt=0.64 (see the dt_max note
+        below); the outer FGMRES operator keeps the true coupling."""
+        import jax
+
+        sg = jax.lax.stop_gradient if split else (lambda v: v)
+
+        def terms(ctx):
+            c, mu, phi = ctx.u
+            (sc, fc), (smu, fmu) = forms.cahn_hilliard(
+                c, mu, ctx.du[1], ctx.du[0], ctx.u0[0], ctx.dt, p.M, p.kappa,
+                dfdc_chem(c) + p.k * sg(phi))
+            sp, fp = forms.poisson(ctx.du[2], -p.k * sg(c) / p.epsilon, 1.0)
+            return [sc, smu, sp], [fc, fmu, fp]
+
+        return terms
+
+    terms = make_terms(False)
 
     def tfe_density(ctx):
         c, _, phi = ctx.u
@@ -83,6 +99,10 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 100.0, Ly: float = 100.0,
         grid=grid,
         field_names=("c", "mu", "phi"),
         terms=terms,
+        # CH (c, mu) block + Poisson (phi) block — enabled by
+        # SolverConfig.field_split
+        terms_precond=make_terms(True),
+        field_groups=((0, 1), (2,)),
         ic_fns=[ic_c(p), lambda x, y: 0.0, lambda x, y: 0.0],
         observables={
             "total_free_energy": tfe_density,

@@ -171,6 +171,12 @@ class SolverConfig:
     # edge masks (in-kernel iota/bool masking SIGABRTs the remote Mosaic
     # compiler). Measured: bench3 51->40 s, bench2 55->44 s.
     use_tiled_sweeps: bool = True
+    # Grid-form tiled kernels (ops/pallas_tiled_grid.py): ONE pallas_call
+    # with grid=(nb,) per sweep/J.v instead of nb unrolled launches. The
+    # hand-written tangent assembly (jvp of the POINTWISE physics only)
+    # retires the round-3 Mosaic grid+jvp SIGABRT; this flag selects it
+    # over the unrolled-launch kernels where tiling engages.
+    tiled_grid_kernels: bool = False
     # Whole-V-cycle fusion (ops/pallas_vcycle.py): ONE kernel per M^-1
     # application, with the (z, Az) matvec pair fused in. 'auto' engages it
     # whenever the dyadic/no-BC/VMEM gates pass — right for bench1 (2-field
@@ -198,6 +204,13 @@ class SolverConfig:
     # split pays 2²+4 (8) with the AC tangents decoupled. No-op for
     # problems that don't declare ``terms_precond``.
     field_split: bool = False
+    # Per-group LMR step sizes when field_split engages: the split
+    # operator's Az planes are group-disjoint, so the smoother's line
+    # search decouples EXACTLY into per-group scalars (PETSc fieldsplit's
+    # separate-block semantics) — strictly better residual reduction per
+    # sweep for G extra in-kernel reductions. Separate knob so the TPU
+    # verdict can be measured independently of field_split itself.
+    field_split_alphas: bool = True
     # When to (re)build the preconditioner: 'newton' = every Newton
     # iteration (SNES default), 'solve' = once per nonlinear solve at the
     # initial guess. FGMRES is flexible, so a lagged preconditioner changes

@@ -246,7 +246,7 @@ def make_pallas_residual(grid: CrossedTriGrid, terms, n_fields: int,
 
 def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
                                dtype=jnp.float32, n_sweeps: int = 1,
-                               field_groups=None):
+                               field_groups=None, alpha_groups=None):
     """Whole smoothing phase as ONE kernel with the sweeps under
     ``lax.fori_loop`` — a single traced J.v body regardless of sweep count
     (the unrolled-chunk variant ``make_pallas_lmr_sweep`` grows the Mosaic
@@ -259,7 +259,7 @@ def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
     residual = _scalar_assembly(grid, terms, n_fields)
     ny, nx = grid.ny, grid.nx
     F = n_fields
-    from pfhubbenchmarks_tpu.ops.pallas_vcycle import _group_of
+    from pfhubbenchmarks_tpu.ops.pallas_vcycle import (_alpha_mul, _group_of, _lmr_alpha)
 
     partners = _group_of(field_groups, F)
 
@@ -290,11 +290,9 @@ def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
             _scatter_refs(az_planes, az_v, az_m, F, ny, nx)
             Az_v = az_v[:]
             Az_m = az_m[:]
-            num = jnp.sum(Az_v * rv) + jnp.sum(Az_m * rm)
-            den = jnp.sum(Az_v * Az_v) + jnp.sum(Az_m * Az_m)
-            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
-            return (xv + alpha * z[0], xm + alpha * z[1],
-                    rv - alpha * Az_v, rm - alpha * Az_m)
+            alpha = _lmr_alpha(Az_v, Az_m, rv, rm, alpha_groups)
+            return (xv + _alpha_mul(alpha, z[0]), xm + _alpha_mul(alpha, z[1]),
+                    rv - _alpha_mul(alpha, Az_v), rm - _alpha_mul(alpha, Az_m))
 
         xv, xm, rv, rm = lax.fori_loop(
             0, n_sweeps, body, (x_v[:], x_m[:], r_v[:], r_m[:]))
@@ -334,7 +332,7 @@ def make_pallas_lmr_sweep_loop(grid: CrossedTriGrid, terms, n_fields: int,
 
 def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                           dtype=jnp.float32, n_sweeps: int = 1,
-                          field_groups=None):
+                          field_groups=None, alpha_groups=None):
     """Fully fused local-minimal-residual smoothing sweep.
 
     One pallas_call computes z = blockJacobi(r), Az = J z (linearized at
@@ -352,7 +350,7 @@ def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
     residual = _scalar_assembly(grid, terms, n_fields)
     ny, nx = grid.ny, grid.nx
     F = n_fields
-    from pfhubbenchmarks_tpu.ops.pallas_vcycle import _group_of
+    from pfhubbenchmarks_tpu.ops.pallas_vcycle import (_alpha_mul, _group_of, _lmr_alpha)
 
     partners = _group_of(field_groups, F)
 
@@ -386,13 +384,11 @@ def make_pallas_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
             _scatter_refs(az_planes, az_v, az_m, F, ny, nx)
             Az_v = az_v[:]
             Az_m = az_m[:]
-            num = jnp.sum(Az_v * rv) + jnp.sum(Az_m * rm)
-            den = jnp.sum(Az_v * Az_v) + jnp.sum(Az_m * Az_m)
-            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
-            xv = xv + alpha * z[0]
-            xm = xm + alpha * z[1]
-            rv = rv - alpha * Az_v
-            rm = rm - alpha * Az_m
+            alpha = _lmr_alpha(Az_v, Az_m, rv, rm, alpha_groups)
+            xv = xv + _alpha_mul(alpha, z[0])
+            xm = xm + _alpha_mul(alpha, z[1])
+            rv = rv - _alpha_mul(alpha, Az_v)
+            rm = rm - _alpha_mul(alpha, Az_m)
         ox_v[:] = xv
         ox_m[:] = xm
         or_v[:] = rv

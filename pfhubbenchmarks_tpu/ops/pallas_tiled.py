@@ -188,6 +188,7 @@ def _unstack_blocks(blocks, bc, rows_owned, Y, X):
 
 def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                          dtype=jnp.float32, block_rows: int | None = None,
+                         field_groups=None, alpha_groups=None,
                          interpret: bool = False):
     """Returns ``(prepare, sweep)``:
 
@@ -216,6 +217,12 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
     # gather staging dominated the trace). A grid=(nb,) version of the same
     # kernel SIGABRTs the remote Mosaic compiler (in-kernel jax.jvp under a
     # grid — bisected r2).
+    # SolverConfig.field_split: cross-group pinv planes are exactly zero
+    # (tests/test_field_split.py) — skip them statically
+    from pfhubbenchmarks_tpu.ops.pallas_vcycle import _group_of
+
+    partners = _group_of(field_groups, F)
+
     def kernel(r_v, r_m, w_v, w_m, w0_v, w0_m, pv, pm, mask_ref, dt_ref,
                z_v_o, z_m_o, az_v_o, az_m_o, av_s, am_s):
         dt = dt_ref[0, 0]
@@ -225,6 +232,8 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
             for i in range(F):
                 acc = None
                 for j in range(F):
+                    if j not in partners[i]:
+                        continue
                     t = pref[i, j] * rref[j]
                     acc = t if acc is None else acc + t
                 out.append(acc)
@@ -297,10 +306,7 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
              _unstack_blocks([o[1] for o in outs], bc, bc, Ym, Xm))
         az = (_unstack_blocks([o[2] for o in outs], bc, bc + 1, Yv, Xv),
               _unstack_blocks([o[3] for o in outs], bc, bc, Ym, Xm))
-        num = (jnp.sum(az[0] * r[0].astype(dtype))
-               + jnp.sum(az[1] * r[1].astype(dtype)))
-        den = jnp.sum(az[0] * az[0]) + jnp.sum(az[1] * az[1])
-        return z, az, num, den
+        return z, az
 
     def prepare(w, w0, pinv):
         """Stage sweep-invariant per-block slabs (once per build)."""
@@ -313,13 +319,17 @@ def make_tiled_lmr_sweep(grid: CrossedTriGrid, terms, n_fields: int,
                 _slab_views(pm.astype(dtype), nb, bc, rows_m))
 
     def sweep(x, r, n, staged, dt):
+        from pfhubbenchmarks_tpu.ops.pallas_vcycle import (_alpha_mul, _lmr_alpha)
+
         def body(carry, _):
             x, r = carry
-            z, az, num, den = _kernel_jvp_z(r, staged, dt)
-            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
-                              0.0)
-            x = (x[0] + alpha * z[0], x[1] + alpha * z[1])
-            r = (r[0] - alpha * az[0], r[1] - alpha * az[1])
+            z, az = _kernel_jvp_z(r, staged, dt)
+            alpha = _lmr_alpha(az[0], az[1], r[0].astype(dtype),
+                               r[1].astype(dtype), alpha_groups)
+            x = (x[0] + _alpha_mul(alpha, z[0]),
+                 x[1] + _alpha_mul(alpha, z[1]))
+            r = (r[0] - _alpha_mul(alpha, az[0]),
+                 r[1] - _alpha_mul(alpha, az[1]))
             return (x, r), None
 
         (x, r), _ = lax.scan(body, (x, r), None, length=n)

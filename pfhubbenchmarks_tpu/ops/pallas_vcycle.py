@@ -202,7 +202,7 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                       nu_fine_pre: int = 0, nu_fine_post: int = 0,
                       coarse_sweeps: int = 24, dtype=jnp.float32,
                       with_matvec: bool = False, matvec_grid=None,
-                      matvec_terms=None, field_groups=None,
+                      matvec_terms=None, field_groups=None, alpha_groups=None,
                       level_bcs=None, cycle: str = "v", inner_mr: int = 1,
                       interpret: bool = False):
     """Returns ``vcycle(r, w_levels, w0_levels, dt, pinvs) -> z`` (one
@@ -315,12 +315,11 @@ def make_fused_vcycle(grids: list[CrossedTriGrid], terms, n_fields: int, *,
                 x, r = carry
                 z = bj(l, r)
                 Av, Am = Az(l, z)
-                num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
-                den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
-                alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
-                                  0.0)
-                x = (x[0] + alpha * z[0], x[1] + alpha * z[1])
-                r = (r[0] - alpha * Av, r[1] - alpha * Am)
+                alpha = _lmr_alpha(Av, Am, r[0], r[1], alpha_groups)
+                x = (x[0] + _alpha_mul(alpha, z[0]),
+                     x[1] + _alpha_mul(alpha, z[1]))
+                r = (r[0] - _alpha_mul(alpha, Av),
+                     r[1] - _alpha_mul(alpha, Am))
                 return x, r
 
             return lax.fori_loop(0, n, body, (x, r))
@@ -501,6 +500,46 @@ def _group_of(field_groups, F):
     return out
 
 
+def _lmr_alpha(Av, Am, rv, rm, groups):
+    """LMR step size: the global scalar argmin of ||r - a Az||, or — with
+    ``groups`` (SolverConfig.field_split_alphas) — the PER-GROUP minimizers
+    as a per-field scalar LIST. The split operator's Az planes are
+    group-disjoint (field f's tangent depends only on in-group fields and
+    lives in field f's planes), so the multi-alpha line search decouples
+    EXACTLY into per-group scalars — the PETSc fieldsplit separate-block
+    semantics, strictly better smoothing per sweep at the cost of G
+    reductions instead of 1. Returned as a LIST (not an [F, 1, 1] stack):
+    Mosaic cannot lower the vector<F> -> vector<Fx1x1> reshape; apply with
+    ``_alpha_mul``."""
+    if groups is None:
+        num = jnp.sum(Av * rv) + jnp.sum(Am * rm)
+        den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
+        return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+    F = Av.shape[0]
+    af = [None] * F
+    for g in groups:
+        num = den = None
+        for f in g:
+            n_f = jnp.sum(Av[f] * rv[f]) + jnp.sum(Am[f] * rm[f])
+            d_f = jnp.sum(Av[f] * Av[f]) + jnp.sum(Am[f] * Am[f])
+            num = n_f if num is None else num + n_f
+            den = d_f if den is None else den + d_f
+        a = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+        for f in g:
+            af[f] = a
+    assert all(a is not None for a in af), groups
+    return af
+
+
+def _alpha_mul(alpha, arr):
+    """``alpha * arr`` for a scalar alpha or the per-field list from
+    ``_lmr_alpha`` (Mosaic-safe: a stack of scalar-scaled planes, the same
+    shape the block-Jacobi apply already lowers)."""
+    if not isinstance(alpha, (list, tuple)):
+        return alpha * arr
+    return jnp.stack([alpha[f] * arr[f] for f in range(len(alpha))])
+
+
 def _bj_apply(pinv, r, F, groups=None):
     """z = P^-1 r with P^-1 given as [F, F] plane stacks. ``groups`` (from
     SolverConfig.field_split) statically skips cross-group planes — they are
@@ -526,7 +565,7 @@ def _bj_apply(pinv, r, F, groups=None):
 
 def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
                        n_fields: int, *, nu: int = 2, dtype=jnp.float32,
-                       field_groups=None,
+                       field_groups=None, alpha_groups=None,
                        bcs_fine=(), bcs_coarse=(), interpret: bool = False):
     """Returns ``descend(b, w, w0, dt, pinv) -> (x, bc)``: ``nu`` LMR
     pre-smoothing sweeps at the fine level from x=0, then Galerkin
@@ -562,11 +601,11 @@ def make_fused_descend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
             Av, Am = az_v[:], az_m[:]
             if has_bcs:
                 Av = Av * keep_f + z[0] * (1.0 - keep_f)
-            num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
-            den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
-            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
-            return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
-                    (r[0] - alpha * Av, r[1] - alpha * Am))
+            alpha = _lmr_alpha(Av, Am, r[0], r[1], alpha_groups)
+            return ((x[0] + _alpha_mul(alpha, z[0]),
+                     x[1] + _alpha_mul(alpha, z[1])),
+                    (r[0] - _alpha_mul(alpha, Av),
+                     r[1] - _alpha_mul(alpha, Am)))
 
         x0 = (jnp.zeros_like(b_v[:]), jnp.zeros_like(b_m[:]))
         x, r = lax.fori_loop(0, nu, body, (x0, (b_v[:], b_m[:])))
@@ -614,7 +653,7 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
                              n_fields: int, *, nu: int = 2,
                              nu_fine: int = 0,
                              dtype=jnp.float32, level_bcs=None,
-                             field_groups=None,
+                             field_groups=None, alpha_groups=None,
                              interpret: bool = False):
     """Multi-level descend: ``chain(b, w_levels, w0_levels, dt, pinvs) ->
     (xs, bs, bc)`` — for each level l in 0..k-1 of ``grids`` (k = len-1
@@ -687,12 +726,11 @@ def make_fused_descend_chain(grids: list[CrossedTriGrid], terms,
                 x, r = carry
                 z = _bj_apply(pinv[l], r, F, groups=field_groups)
                 Av, Am = Az(z)
-                num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
-                den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
-                alpha = jnp.where(den > 0,
-                                  num / jnp.where(den > 0, den, 1.0), 0.0)
-                return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
-                        (r[0] - alpha * Av, r[1] - alpha * Am))
+                alpha = _lmr_alpha(Av, Am, r[0], r[1], alpha_groups)
+                return ((x[0] + _alpha_mul(alpha, z[0]),
+                         x[1] + _alpha_mul(alpha, z[1])),
+                        (r[0] - _alpha_mul(alpha, Av),
+                         r[1] - _alpha_mul(alpha, Am)))
 
             x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
             nu_l = (nu_fine or nu) if l == 0 else nu
@@ -761,7 +799,7 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
                             n_fields: int, *, nu: int = 2,
                             nu_fine: int = 0,
                             dtype=jnp.float32, level_bcs=None,
-                            field_groups=None,
+                            field_groups=None, alpha_groups=None,
                             interpret: bool = False):
     """Multi-level ascend: ``chain(bs, xs, xc, w_levels, w0_levels, dt,
     pinvs) -> z`` — from the coarsest correction ``xc`` upward through
@@ -843,12 +881,11 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
                 x, r = carry
                 z = _bj_apply(pinv[l], r, F, groups=field_groups)
                 Av, Am = Az(z)
-                num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
-                den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
-                alpha = jnp.where(den > 0,
-                                  num / jnp.where(den > 0, den, 1.0), 0.0)
-                return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
-                        (r[0] - alpha * Av, r[1] - alpha * Am))
+                alpha = _lmr_alpha(Av, Am, r[0], r[1], alpha_groups)
+                return ((x[0] + _alpha_mul(alpha, z[0]),
+                         x[1] + _alpha_mul(alpha, z[1])),
+                        (r[0] - _alpha_mul(alpha, Av),
+                         r[1] - _alpha_mul(alpha, Am)))
 
             nu_l = (nu_fine or nu) if l == 0 else nu
             x, r = lax.fori_loop(0, nu_l, body, (x, r))
@@ -901,7 +938,7 @@ def make_fused_ascend_chain(grids: list[CrossedTriGrid], terms,
 
 def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
                       n_fields: int, *, nu: int = 2, dtype=jnp.float32,
-                      field_groups=None,
+                      field_groups=None, alpha_groups=None,
                       with_matvec: bool = False, matvec_grid=None,
                       matvec_terms=None,
                       bcs_fine=(), bcs_coarse=(), interpret: bool = False):
@@ -956,11 +993,11 @@ def make_fused_ascend(fine: CrossedTriGrid, coarse: CrossedTriGrid, terms,
             x, r = carry
             z = _bj_apply((pv, pm), r, F, groups=field_groups)
             Av, Am = Az(z, residual)
-            num = jnp.sum(Av * r[0]) + jnp.sum(Am * r[1])
-            den = jnp.sum(Av * Av) + jnp.sum(Am * Am)
-            alpha = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
-            return ((x[0] + alpha * z[0], x[1] + alpha * z[1]),
-                    (r[0] - alpha * Av, r[1] - alpha * Am))
+            alpha = _lmr_alpha(Av, Am, r[0], r[1], alpha_groups)
+            return ((x[0] + _alpha_mul(alpha, z[0]),
+                     x[1] + _alpha_mul(alpha, z[1])),
+                    (r[0] - _alpha_mul(alpha, Av),
+                     r[1] - _alpha_mul(alpha, Am)))
 
         x, r = lax.fori_loop(0, nu, body, (x, r))
         oz_v[:] = x[0]

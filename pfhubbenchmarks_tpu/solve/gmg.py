@@ -25,6 +25,7 @@ the level linearizations at the current iterate.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -156,12 +157,14 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
              nu_post: int = 2, omega: float = 0.8, coarse_sweeps: int = 24,
              max_levels: int = 10, precond_dtype=jnp.float32,
              use_pallas: bool = False, use_tiled_sweeps: bool = False,
+             tiled_grid_kernels: bool = False,
              precond_rule: str | None = None, min_cells: int = 7,
              dense_coarse_max_dofs: int = 1500, fuse_vcycle: str = "auto",
              cycle: str = "v", inner_mr: int = 1,
              nu_fine_pre: int = 0, nu_fine_post: int = 0,
              true_matvec: bool = True,
-             matvec_terms=None, field_groups=None):
+             matvec_terms=None, field_groups=None,
+             field_split_alphas: bool = True):
     """Returns ``build(w, w0, dt) -> Minv`` applying one V-cycle.
 
     ``use_pallas=True`` replaces each level's J.v with the fused Pallas
@@ -170,6 +173,10 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
     the kernel (the tangent of a BC row ``u - g`` is just ``du``).
     """
     del omega  # step lengths are computed, not damped
+    # per-group LMR step sizes: exact (the split operator's Az planes are
+    # group-disjoint) and strictly better per sweep — see
+    # ops/pallas_vcycle._lmr_alpha
+    alpha_groups = field_groups if field_split_alphas else None
     # finest-level smoothing override (config.gmg_nu_fine_pre/post;
     # 0 = inherit): levels >= 1 keep nu_pre/nu_post
     nfp = nu_fine_pre or nu_pre
@@ -212,11 +219,15 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 # unfused XLA J.v at 350² is ~2 ms, paid once per V-cycle
                 from pfhubbenchmarks_tpu.ops.pallas_tiled import (
                     choose_block_rows_vmem, make_tiled_jvp)
+                from pfhubbenchmarks_tpu.ops.pallas_tiled_grid import (
+                    make_grid_tiled_jvp)
 
                 bc_rows = choose_block_rows_vmem(g, n_fields, nq_g)
                 if bc_rows is not None and bc_rows < g.ny:
+                    mk = (make_grid_tiled_jvp if tiled_grid_kernels
+                          else make_tiled_jvp)
                     pallas_jvs.append(
-                        ("tiled",) + make_tiled_jvp(
+                        ("tiled",) + mk(
                             g, terms, n_fields, dtype=precond_dtype,
                             block_rows=bc_rows))
                 else:
@@ -242,7 +253,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 # the only whole-array form that fits >2-field systems
                 kernels = {n: make_pallas_lmr_sweep_loop(
                     g, terms, n_fields, dtype=precond_dtype, n_sweeps=n,
-                    field_groups=field_groups)
+                    field_groups=field_groups, alpha_groups=alpha_groups)
                     for n in counts}
                 pallas_sweeps.append(("loop", kernels))
             elif ok and not bcs and fits_vmem(g, n_fields, nq=4,
@@ -250,7 +261,8 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 kernels = {c: make_pallas_lmr_sweep(g, terms, n_fields,
                                                     dtype=precond_dtype,
                                                     n_sweeps=c,
-                                                    field_groups=field_groups)
+                                                    field_groups=field_groups,
+                                                    alpha_groups=alpha_groups)
                            for c in sorted(set(chunks.values()))}
                 pallas_sweeps.append((chunks, kernels))
             elif not bcs and use_tiled_sweeps:
@@ -261,11 +273,21 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 # SIGABRTed the remote Mosaic compiler — ROADMAP.md)
                 from pfhubbenchmarks_tpu.ops.pallas_tiled import (
                     choose_block_rows_vmem, make_tiled_lmr_sweep)
+                from pfhubbenchmarks_tpu.ops.pallas_tiled_grid import (
+                    make_grid_tiled_lmr_sweep)
 
                 bc_rows = choose_block_rows_vmem(g, n_fields, nq_g)
                 if bc_rows is not None and bc_rows < g.ny:
+                    if tiled_grid_kernels:
+                        mk = partial(make_grid_tiled_lmr_sweep,
+                                     field_groups=field_groups,
+                                     alpha_groups=alpha_groups)
+                    else:
+                        mk = partial(make_tiled_lmr_sweep,
+                                     field_groups=field_groups,
+                                     alpha_groups=alpha_groups)
                     pallas_sweeps.append(
-                        ("tiled",) + make_tiled_lmr_sweep(
+                        ("tiled",) + mk(
                             g, terms, n_fields, dtype=precond_dtype,
                             block_rows=bc_rows))
                 else:
@@ -322,6 +344,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 matvec_grid=(grid if (precond_rule and true_matvec)
                              else None),
                 matvec_terms=matvec_terms, field_groups=field_groups,
+                alpha_groups=alpha_groups,
                 level_bcs=level_bcs, cycle=cycle, inner_mr=inner_mr)
 
     # sub-cycle fusion: when the FINE level exceeds the whole-kernel VMEM
@@ -346,7 +369,7 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 sub_fused = make_fused_vcycle(
                     tail, terms, n_fields, nu_pre=nu_pre, nu_post=nu_post,
                     coarse_sweeps=coarse_sweeps, dtype=precond_dtype,
-                    field_groups=field_groups,
+                    field_groups=field_groups, alpha_groups=alpha_groups,
                     level_bcs=level_bcs[lf:], cycle=cycle)
                 sub_fused_at = lf
                 break
@@ -370,10 +393,12 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
         split_descend = make_fused_descend(
             grids[0], grids[1], terms, n_fields, nu=nfp,
             dtype=precond_dtype, field_groups=field_groups,
+            alpha_groups=alpha_groups,
             bcs_fine=level_bcs[0], bcs_coarse=level_bcs[1])
         split_ascend = make_fused_ascend(
             grids[0], grids[1], terms, n_fields, nu=nfo,
             dtype=precond_dtype, field_groups=field_groups,
+            alpha_groups=alpha_groups,
             bcs_fine=level_bcs[0], bcs_coarse=level_bcs[1])
 
     # fuse_vcycle="split_levels": EVERY level above the coarsest gets a
@@ -398,12 +423,14 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                                 nu=(nfp if l == 0 else nu_pre),
                                 dtype=precond_dtype,
                                 field_groups=field_groups,
+                                alpha_groups=alpha_groups,
                                 bcs_fine=level_bcs[l],
                                 bcs_coarse=level_bcs[l + 1]),
              make_fused_ascend(grids[l], grids[l + 1], terms, n_fields,
                                nu=(nfo if l == 0 else nu_post),
                                dtype=precond_dtype,
                                field_groups=field_groups,
+                               alpha_groups=alpha_groups,
                                bcs_fine=level_bcs[l],
                                bcs_coarse=level_bcs[l + 1]))
             for l in range(len(grids) - 1)]
@@ -429,11 +456,13 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
             make_fused_descend_chain(grids, terms, n_fields, nu=nu_pre,
                                      nu_fine=nfp, dtype=precond_dtype,
                                      level_bcs=level_bcs,
-                                     field_groups=field_groups),
+                                     field_groups=field_groups,
+                                     alpha_groups=alpha_groups),
             make_fused_ascend_chain(grids, terms, n_fields, nu=nu_post,
                                     nu_fine=nfo, dtype=precond_dtype,
                                     level_bcs=level_bcs,
-                                    field_groups=field_groups))
+                                    field_groups=field_groups,
+                                    alpha_groups=alpha_groups))
         sub_fused = None
         sub_fused_at = None
 
@@ -587,7 +616,15 @@ def make_gmg(grid: CrossedTriGrid, terms, n_fields: int, dirichlet_for=None,
                 x, r = carry
                 z = bj(r)
                 Az = jvp(z)
-                alpha = tr.vdot(Az, r) * tr.safe_inv(tr.vdot(Az, Az))
+                if alpha_groups is None:
+                    alpha = tr.vdot(Az, r) * tr.safe_inv(tr.vdot(Az, Az))
+                else:
+                    from pfhubbenchmarks_tpu.ops.pallas_vcycle import (
+                        _lmr_alpha)
+
+                    alpha = jnp.stack(_lmr_alpha(
+                        Az[0], Az[1], r[0], r[1],
+                        alpha_groups))[:, None, None]
                 return (tr.axpy(alpha, z, x), tr.axpy(-alpha, Az, r)), None
 
             (x, r), _ = lax.scan(body, (x, r), None, length=sweeps)

@@ -18,8 +18,10 @@ def test_bench1_cli_end_to_end(tmp_path):
            "--nx", "8", "--ny", "8", "--max-steps", "2", "--quiet",
            "--out", str(out), "--stats-log", str(stats),
            "--save-fields", "1", "--fields-dir", str(fields)]
+    # env= must be passed: without it an ambient PYTHONPATH containing
+    # .axon_site would make this child grab the single TPU chip
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
-                       cwd=str(tmp_path))
+                       cwd=str(tmp_path), env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     rows = np.loadtxt(out, delimiter=",", skiprows=1)
     assert rows.shape == (2, 3)

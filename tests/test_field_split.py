@@ -121,3 +121,67 @@ def test_field_split_newton_converges_same_state():
     for a, b in zip(states[0], states[1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-8)
+
+
+def test_per_group_alphas_fused_matches_xla():
+    """SolverConfig.field_split_alphas: per-group LMR step sizes. The fused
+    kernel with alpha_groups must reproduce the XLA V-cycle built with
+    field_groups (which derives the same per-group alphas), and the
+    per-group cycle must differ from the global-alpha one (it really is a
+    different — strictly better — line search)."""
+    pb = make_b2(nx=16, ny=16)
+    g, F = pb.grid, pb.n_fields
+    w = tuple(a.astype(jnp.float32) for a in pb.initial_state())
+    dt = jnp.asarray(0.05, jnp.float32)
+    r = _rand_r(g, F, seed=7)
+
+    xla_build = make_gmg(g, pb.terms_precond, F, dtype=jnp.float32,
+                         nu_pre=2, nu_post=2, coarse_sweeps=8,
+                         dense_coarse_max_dofs=0,
+                         field_groups=pb.field_groups,
+                         field_split_alphas=True)
+    z_xla = xla_build(w, w, dt)(r)
+
+    grids = build_hierarchy(g)
+    fused = make_fused_vcycle(grids, pb.terms_precond, F, nu_pre=2,
+                              nu_post=2, coarse_sweeps=8, dtype=jnp.float32,
+                              field_groups=pb.field_groups,
+                              alpha_groups=pb.field_groups, interpret=True)
+    w_ls, pinvs = _ladder(grids, pb.terms_precond, F, w, dt)
+    z_fused = fused(r, w_ls, w_ls, dt, pinvs)
+    for a, b in zip(z_fused, z_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)
+
+    # and it is NOT the global-alpha cycle
+    glob = make_fused_vcycle(grids, pb.terms_precond, F, nu_pre=2,
+                             nu_post=2, coarse_sweeps=8, dtype=jnp.float32,
+                             field_groups=pb.field_groups, interpret=True)
+    z_glob = glob(r, w_ls, w_ls, dt, pinvs)
+    assert max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(z_fused, z_glob)) > 1e-4
+
+
+def test_bench6_split_blocks_block_diagonal():
+    """bench6's (c,mu)+(phi) split: exact zero cross blocks INCLUDING the
+    Dirichlet phi rows (a BC row mixes phi only with itself)."""
+    from pfhubbenchmarks_tpu.benchmarks.bench6 import make as make_b6
+
+    pb = make_b6(nx=8, ny=8)
+    g, F = pb.grid, pb.n_fields
+    w = tuple(a.astype(jnp.float32) for a in pb.initial_state())
+    bj = make_block_jacobi(g, pb.terms_precond, F, dirichlet=pb.dirichlet,
+                           dtype=jnp.float32)(w, w, 0.05)
+    partners = {}
+    for grp in pb.field_groups:
+        for i in grp:
+            partners[i] = set(grp)
+    for plane in bj.pinv_planes:
+        a = np.asarray(plane)
+        for i in range(F):
+            for j in range(F):
+                if j not in partners[i]:
+                    assert np.all(a[i, j] == 0.0), (i, j)
+    full = make_block_jacobi(g, pb.terms, F, dirichlet=pb.dirichlet,
+                             dtype=jnp.float32)(w, w, 0.05)
+    assert np.abs(np.asarray(full.pinv_planes[0])[0, 2]).max() > 0

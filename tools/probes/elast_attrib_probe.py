@@ -86,22 +86,36 @@ def make_J(dtype):
 
 J = timed("J_f64", make_J(jnp.float64), w, dt)
 J32 = timed("J_f32build", make_J(jnp.float32), w, dt)
+J32.delete()                      # timing-only; free n² before the inverses
+del J32
 d = 1.0 / jnp.maximum(jnp.abs(J).max(axis=1), 1e-30)
 Jd = (J * d[:, None]).astype(jnp.float32)
+Jd64 = Jd.astype(jnp.float64)     # quality-check operand, built once
 X0 = timed("fact", lambda A: mxu_inverse(A), Jd)
-X3 = timed("ref3", lambda A, X: refine_inverse(A, X, iters=3), Jd, X0)
-X1 = timed("ref1", lambda A, X: refine_inverse(A, X, iters=1), Jd, X0)
+J.delete()                        # refine passes peak HBM (chain_r32 OOM)
+del J
 
-# application quality in f64 against the f64 J
+# application quality in f64 (each case timed, checked, then freed)
 import numpy as np
 
 rng = np.random.default_rng(0)
 r = jnp.asarray(rng.standard_normal(n))
-Jr64 = jax.jit(lambda X, r: (J * d[:, None]).astype(jnp.float64)
-               @ (X.astype(jnp.float64) @ r) - r)
-for label, X in (("q0", X0), ("q1", X1), ("q3", X3)):
+Jr64 = jax.jit(lambda X, rr: Jd64 @ (X.astype(jnp.float64) @ rr) - rr)
+
+
+def quality(label, X):
     err = jax.block_until_ready(Jr64(X, r))
-    print(f"{label}: {float(jnp.linalg.norm(err) / jnp.linalg.norm(r)):.3e}")
+    print(f"{label}: {float(jnp.linalg.norm(err) / jnp.linalg.norm(r)):.3e}",
+          flush=True)
+
+
+quality("q0", X0)
+for iters in (1, 3):
+    Xr = timed(f"ref{iters}",
+               lambda A, X, it=iters: refine_inverse(A, X, iters=it), Jd, X0)
+    quality(f"q{iters}", Xr)
+    Xr.delete()
+    del Xr
 
 # production Newton solve (refined) vs refinement skipped
 import dataclasses

@@ -157,7 +157,8 @@ class Benchmark3DProblem:
                               precond_rule=s.precond_rule,
                               cycle=s.gmg_cycle, inner_mr=s.gmg_inner_mr,
                               kcycle=s.gmg_kcycle,
-                              use_pallas=self._pallas_backend_ok())
+                              use_pallas=self._pallas_backend_ok(),
+                              tiled_nb1=s.tiled_nb1_3d)
         return make_block_jacobi3d(self.grid, self.terms, self.n_fields,
                                    dirichlet=self.dirichlet, dtype=kry_dtype,
                                    needs_coords=self.needs_coords)

@@ -177,6 +177,13 @@ class SolverConfig:
     # retires the round-3 Mosaic grid+jvp SIGABRT; this flag selects it
     # over the unrolled-launch kernels where tiling engages.
     tiled_grid_kernels: bool = False
+    # 3D: allow the z-slab tiled kernels at nb=1 (block_rows == nz) on
+    # levels where the fori-loop whole-array kernel exceeds VMEM but one
+    # slab kernel fits — bench1_3d's 25³ otherwise falls through to the
+    # XLA einsum path, and gmg_kcycle multiplies exactly that level's work
+    # (3x at the default kcycle=3). Default OFF until the TPU verdict
+    # (tools/probes/b13d_attrib_probe.py times both paths).
+    tiled_nb1_3d: bool = False
     # Whole-V-cycle fusion (ops/pallas_vcycle.py): ONE kernel per M^-1
     # application, with the (z, Az) matvec pair fused in. 'auto' engages it
     # whenever the dyadic/no-BC/VMEM gates pass — right for bench1 (2-field

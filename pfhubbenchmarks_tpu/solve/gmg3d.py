@@ -47,7 +47,7 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                max_levels: int = 10, precond_dtype=jnp.float32,
                precond_rule: str | None = None, cycle: str = "v",
                inner_mr: int = 1, kcycle: int = 1,
-               use_pallas: bool = False,
+               use_pallas: bool = False, tiled_nb1: bool = False,
                nu_fine_pre: int = 0, nu_fine_post: int = 0):
     """``dirichlet_for(grid) -> (DirichletBC3D, ...)`` rebuilds face BCs on
     every coarse level (coarse rediscretization keeps BC rows ``u - g``,
@@ -105,8 +105,12 @@ def make_gmg3d(grid: TetGrid, terms, n_fields: int, dirichlet_for=None,
                                      make_pallas_jvp3d(g, terms, n_fields,
                                                        dtype=precond_dtype))
             else:
+                # tiled_nb1 (SolverConfig.tiled_nb1_3d): bc == nz means ONE
+                # slab covers the level — a per-sweep whole-slab kernel.
+                # Excluded by default; bench1_3d's 25³ hits exactly this
+                # (sweep_loop over VMEM, choose_block_zrows returns nz).
                 bc_rows = choose_block_zrows(g, n_fields, nq_g)
-                if bc_rows is not None and bc_rows < g.nz:
+                if bc_rows is not None and (bc_rows < g.nz or tiled_nb1):
                     pallas_sweeps[l] = ("tiled",) + make_tiled_lmr_sweep3d(
                         g, terms, n_fields, dtype=precond_dtype,
                         block_rows=bc_rows)

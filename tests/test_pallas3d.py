@@ -188,3 +188,43 @@ def test_gmg3d_pallas_matches_xla(prob):
     scale = float(jnp.abs(z_ref[0]).max())
     np.testing.assert_allclose(np.asarray(z[0]), np.asarray(z_ref[0]),
                                atol=3e-4 * scale)
+
+
+def test_tiled_jvp3d_nb1_matches(prob):
+    """block_rows == nz (nb=1): one slab covers the grid — the shape
+    SolverConfig.tiled_nb1_3d routes to on levels where the fori-loop
+    whole-array kernel exceeds VMEM (bench1_3d's 25³)."""
+    pb, g, F, w, dt, v = prob
+    prep, jv = pallas3d.make_tiled_jvp3d(g, pb.terms, F,
+                                         dtype=jnp.float32,
+                                         block_rows=g.nz, interpret=True)
+    (av,) = jv(v, prep(w, w), dt)
+    (rv,) = _xla_jvp(pb, g, F, w, dt, v)
+    scale = float(jnp.abs(rv).max())
+    np.testing.assert_allclose(np.asarray(av), np.asarray(rv),
+                               atol=2e-5 * scale)
+
+
+def test_tiled_sweep3d_nb1_matches(prob):
+    pb, g, F, w, dt, v = prob
+    bj = make_block_jacobi3d(g, pb.terms, F, dtype=jnp.float32)(w, w, dt)
+    prep, sweep = pallas3d.make_tiled_lmr_sweep3d(
+        g, pb.terms, F, dtype=jnp.float32, block_rows=g.nz, interpret=True)
+    x0 = (jnp.zeros_like(v[0]),)
+    x_t, r_t = sweep(x0, v, 2, prep(w, w, bj.pinv_planes), dt)
+
+    res32 = make_residual3d(g, pb.terms, F, dtype=jnp.float32)
+    _, jvp_fn = jax.linearize(lambda u: res32(u, w, dt), w)
+    x, rr = x0, v
+    for _ in range(2):
+        z = bj(rr)
+        Az = jvp_fn(z)
+        alpha = jnp.vdot(Az[0], rr[0]) / jnp.vdot(Az[0], Az[0])
+        x = (x[0] + alpha * z[0],)
+        rr = (rr[0] - alpha * Az[0],)
+    scale = float(jnp.abs(x[0]).max())
+    np.testing.assert_allclose(np.asarray(x_t[0]), np.asarray(x[0]),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(
+        np.asarray(r_t[0]), np.asarray(rr[0]),
+        atol=1e-4 * float(jnp.abs(rr[0]).max()))

@@ -241,11 +241,15 @@ def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
         # a ~48 s dispatch completes, so fused runs go in short segments
         # (timeloop.run_fused_segmented; host pays one ~2 MB state
         # round-trip per segment instead of one dispatch per attempt).
-        # seg=4 still crashed twice (chain_r20: a 4-step segment with
-        # dt-retries can exceed the worker's dispatch limit); seg=1 and
-        # seg=2 both completed 31 steps at the same wall (285.9 / 292.5 s,
-        # chain_r21), so default to the most bounded dispatch
-        fused_seg_rows=1,
+        # Segment size vs the worker's dispatch limit: at kcycle=1 a
+        # 4-step segment with dt-retries crashed twice (chain_r20), so r4
+        # shipped seg=1 (285.9 / 292.5 s at seg=1/2, chain_r21). The
+        # kcycle=3 default walks 24 steps with only 4 retries and much
+        # cheaper per-step dispatches: seg=8 completed twice at 123.4 /
+        # 123.7 s with identical counts (chain_r32/r36) vs 131.6 s at
+        # seg=1 (chain_r31) — per-segment host round-trips were ~6% of
+        # wall. seg=16 crashes the worker (chain_r32): stay at 8.
+        fused_seg_rows=8,
         **overrides,
     )
 

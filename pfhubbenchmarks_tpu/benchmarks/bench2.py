@@ -209,7 +209,21 @@ def make(nx: int = 100, ny: int = 100, Lx: float = 200.0, Ly: float = 200.0,
                             # identical trajectory (chain_r31 b2_rs16; the
                             # round-3 scan at restart 16/20 was neutral on
                             # bench1's 2-field basis).
-                            gmres_restart=16),
+                            gmres_restart=16,
+                            # field-split preconditioner (CH 2x2 block + 4
+                            # decoupled AC blocks, the PETSc -pc_fieldsplit
+                            # analog; terms_precond below): each smoother
+                            # apply pays 8 pinv plane-FMAs + the decoupled
+                            # tangent instead of 36 + the full 6-field
+                            # coupling. Accepted krylov rises 8336 -> 9433
+                            # (the split preconditioner is weaker) but the
+                            # cheaper apply nets 10.08 -> 9.50 s with the
+                            # IDENTICAL accepted trajectory (chain_r36
+                            # b2fs; prefix 28, interp 2.769e-2 both).
+                            # Per-group LMR alphas (field_split_alphas,
+                            # default True) are part of the win: alphas=0
+                            # measured 9.77 s / krylov_all 14085.
+                            field_split=True),
         **overrides,
     )
 

@@ -175,7 +175,13 @@ class SolverConfig:
     # with grid=(nb,) per sweep/J.v instead of nb unrolled launches. The
     # hand-written tangent assembly (jvp of the POINTWISE physics only)
     # retires the round-3 Mosaic grid+jvp SIGABRT; this flag selects it
-    # over the unrolled-launch kernels where tiling engages.
+    # over the unrolled-launch kernels where tiling engages. Measured
+    # wall-NEUTRAL at current defaults (chain_r33/r36: bench3 11.096 vs
+    # 11.09 s, bench2 10.076 vs 10.08 s with identical iteration counts —
+    # the production fused/split paths don't route through the tiled
+    # sweeps), so it stays a capability default-off: it matters for the
+    # unfused path (use_pallas without fusion) and any future
+    # VMEM-exceeding shape the fused paths can't take.
     tiled_grid_kernels: bool = False
     # 3D: allow the z-slab tiled kernels at nb=1 (block_rows == nz) on
     # levels where the fori-loop whole-array kernel exceeds VMEM but one

@@ -57,18 +57,27 @@ def test_bench1_cli_mesh_sharded(tmp_path):
     decomposition as a first-class CLI feature); rows must match the
     single-device trajectory of the same padded problem."""
     out = tmp_path / "b1_mesh.csv"
+    # env= must be passed (as in the other CLI tests): without it an
+    # ambient PYTHONPATH containing .axon_site makes this child grab the
+    # single TPU chip — racing any TPU job and flaking the suite
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "--xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
     base = [sys.executable, "-m", "pfhubbenchmarks_tpu.benchmarks.bench1",
             "--nx", "16", "--ny", "16", "--max-steps", "3", "--quiet"]
     r = subprocess.run(base + ["--mesh", "2x4", "--out", str(out)],
                        capture_output=True, text=True, timeout=300,
-                       cwd=str(tmp_path))
+                       cwd=str(tmp_path), env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     rows = np.loadtxt(out, delimiter=",", skiprows=1)
     assert rows.shape == (3, 3)
     # single-device reference on the same mesh-padded grid
     out1 = tmp_path / "b1_single.csv"
     r1 = subprocess.run(base + ["--out", str(out1)], capture_output=True,
-                        text=True, timeout=300, cwd=str(tmp_path))
+                        text=True, timeout=300, cwd=str(tmp_path), env=env)
     assert r1.returncode == 0, r1.stderr[-2000:]
     rows1 = np.loadtxt(out1, delimiter=",", skiprows=1)
     # same time grid; observables to reduction-order noise. NOTE: the

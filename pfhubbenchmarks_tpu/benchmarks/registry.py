@@ -59,6 +59,11 @@ def main(name: str, argv=None) -> None:
     ap.add_argument("--replay", type=str, default=None, metavar="CSV",
                     help="replay the time grid of a reference CSV (column 0) "
                          "instead of running the adaptive controller")
+    ap.add_argument("--no-damped-rescue", action="store_true",
+                    help="replay mode: skip the damped-Newton rescue rungs "
+                         "(a separate large compile that can crash the "
+                         "tunneled TPU worker on the largest grids; the "
+                         "2x(dt/2) substep fallback still applies)")
     ap.add_argument("--fused", action="store_true",
                     help="whole run as one device dispatch (timeloop."
                          "run_fused); excludes checkpoints/stats/fields "
@@ -194,6 +199,7 @@ def main(name: str, argv=None) -> None:
                                   time_grid=time_grid,
                                   replay_partial=time_grid is not None,
                                   replay_substep_fallback=time_grid is not None,
+                                  replay_damped=not args.no_damped_rescue,
                                   on_step=(on_step if hooks else None),
                                   **resume_kwargs)
     wall = time.time() - t0

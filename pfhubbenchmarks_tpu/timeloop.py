@@ -237,6 +237,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
         step0: int = 0, time_grid=None, replay_partial: bool = False,
         replay_substep_fallback: bool = False,
         replay_forcing: str | None = "fixed",
+        replay_damped: bool = True,
         on_step: Callable[[StepStats, tuple], None] | None = None,
         _runner: "Runner | None" = None) -> RunResult:
     """Run a benchmark to final time; returns the CSV rows + per-step stats.
@@ -355,7 +356,7 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                         if not pk[1]:
                             break
                         g = res.x
-                if not pk[1] and warm is not None:
+                if not pk[1] and warm is not None and replay_damped:
                     # damped Newton from the warm guess crosses the
                     # remaining gap (bench3's t=41.59 dt-fold)
                     x, conv, _ = runner.host_damped()(warm, w0, dt)
@@ -364,9 +365,19 @@ def run(problem: BenchmarkProblem, *, end_time: float | None = None,
                         # iterations from the root) for NewtonResult + obs
                         res, pk = step_fn(x, w0, dt)
                         pk = np.asarray(pk)
-                if not pk[1] and g is not None:
+                if not pk[1] and g is not None and replay_damped:
                     # last resort: damped Newton from the deepest
-                    # continuation iterate
+                    # continuation iterate.
+                    # ``replay_damped=False`` (CLI --no-damped-rescue) skips
+                    # both damped rungs: the bt-variant rescue program is a
+                    # separate large compile that can crash the tunneled TPU
+                    # worker on the largest grids (bench3 350² replay,
+                    # observed chain_r31 AND chain_r40 — a worker crash
+                    # loses every live buffer, so it cannot be caught
+                    # in-process), and the steps it rescues fall through to
+                    # the 2x(dt/2) substep fallback below, which is what
+                    # bench3's t=41.59 branch-fold step takes anyway (the
+                    # damped solve stalls at the fold, see that comment).
                     x, conv, _ = runner.host_damped()(g, w0, dt)
                     if conv:
                         res, pk = step_fn(x, w0, dt)

@@ -100,6 +100,42 @@ def test_replay_overrides_ew_forcing_to_fixed(monkeypatch):
     assert built == ["ew", "fixed", "fixed", "ew"]
 
 
+def test_replay_damped_false_skips_damped_rescue(monkeypatch):
+    """``replay_damped=False`` (CLI --no-damped-rescue) must keep the rescue
+    ladder away from the host-damped rungs: the bt-variant rescue program is
+    a separate large compile that can crash the tunneled TPU worker on the
+    largest grids (bench3 350² replay, chain_r31 + chain_r40), and a worker
+    crash loses every live buffer — it cannot be caught in-process. The
+    substep/continuation/2x(dt/2) rungs (production program only) stay."""
+    import dataclasses
+
+    calls = []
+
+    def spy_damped(self):
+        def fake(warm, w0, dt):
+            calls.append(float(dt))
+            return warm, False, None
+
+        return fake
+
+    monkeypatch.setattr(timeloop.Runner, "host_damped", spy_damped)
+    problem = get_benchmark("bench1", nx=16, ny=16)
+    # one replayed step over a hopeless gap at newton_max_iters=1: every
+    # production rung fails, so the ladder reaches the damped rungs iff
+    # they are enabled, then ends via replay_partial with zero rows
+    problem = dataclasses.replace(problem, solver=dataclasses.replace(
+        problem.solver, newton_max_iters=1))
+    grid = np.array([500.0])
+    res = timeloop.run(problem, time_grid=grid, verbose=False,
+                       replay_partial=True, replay_substep_fallback=True,
+                       replay_damped=False)
+    assert calls == []
+    assert len(res.rows) == 0
+    timeloop.run(problem, time_grid=grid, verbose=False,
+                 replay_partial=True, replay_substep_fallback=True)
+    assert calls  # default keeps the damped rungs
+
+
 def test_run_fused_bench3_abort_device_matches_host():
     """bench3's TFE<0 abort has a device-side twin, so the fused driver
     reproduces the host loop including the abort semantics."""

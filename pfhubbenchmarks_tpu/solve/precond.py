@@ -350,7 +350,15 @@ def make_dense_precond(grid: CrossedTriGrid, terms, n_fields: int,
                 A = refine_inverse(Jd, A, iters=refine_iters)
 
         def Minv(r):
-            return unflatten((A @ (d * flatten(r))).astype(dtype))
+            # apply in A's own dtype: under full-f64 FGMRES (elast) the
+            # promoted ``f32 A @ f64 r`` ran the n² matvec in EMULATED f64
+            # every iteration for nothing — M's application quality is
+            # f32-class regardless (raw factor ~1.6e-1, refined ~7e-4), so
+            # rounding r to f32 (6e-8 rel) is invisible and FGMRES's
+            # flexibility absorbs it. LAPACK/CPU builds keep A at the
+            # Krylov dtype — no-op there.
+            x = d.astype(A.dtype) * flatten(r).astype(A.dtype)
+            return unflatten((A @ x).astype(dtype))
 
         return Minv
 

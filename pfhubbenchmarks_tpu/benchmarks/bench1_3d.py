@@ -233,9 +233,19 @@ def make(nx: int = 50, ny: int = 50, nz: int = 50, Lx: float = 100.0,
         # match the committed trajectory at TFE 5e-11, the rest is the
         # controller legitimately taking bigger steps (3D has no reference
         # golden; dolfin/b13d.py:24-26 writes none).
+        # tiled_nb1_3d: the 25³ level's sweeps otherwise fall through to
+        # the XLA einsum path (choose_block_zrows returns bc == nz there),
+        # and gmg_kcycle=3 multiplies exactly that level's work. The nb=1
+        # z-slab Pallas sweep/J.v kernels cut the full run 123.7 ->
+        # **79.7 s** with the bit-identical 24-step trajectory (prefix
+        # 24/24, TFE 3.7e-11 — chain_r41 cfg_probe). Mid-level smoothing
+        # strength was the measured-rejected alternative: nu=4/4 at L1
+        # (fine kept 2/2) costs 150.5 s — krylov_all only -7% for +50%
+        # L1 work per visit (chain_r41; CPU counts lab agrees: dt=0.4
+        # krylov 76 -> 76).
         solver=SolverConfig(line_search="basic", precond="gmg",
                             precond_rule="keast2", fast_residual=True,
-                            gmg_kcycle=3),
+                            gmg_kcycle=3, tiled_nb1_3d=True),
         # one whole-run dispatch at 50³ crashes the remote TPU worker
         # during execution (with AND without Pallas — chain_r19 bisect);
         # a ~48 s dispatch completes, so fused runs go in short segments

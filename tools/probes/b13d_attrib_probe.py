@@ -11,7 +11,12 @@ Times, each as a chained-scan device-only ms/apply:
                         gmg3d's bc<nz gate leaves it on the XLA path)
   outer J.v           — the production lowp f32 fine-level J.v
 
-Usage: python tools/probes/b13d_attrib_probe.py [reps]
+Usage: python tools/probes/b13d_attrib_probe.py [reps] [kcycles]
+  kcycles: comma-separated list (default "1,3" — k=1 vs the k=3 default
+  isolates the level-1+coarse share without paying two more ~10-min
+  preconditioner compiles; chain_r43 already measured k=2/k=4 full-run
+  walls). reps default 10: the reps=50 chained-scan apply crashed the
+  remote worker (chain_r41, the documented long-running-dispatch class).
 """
 import dataclasses
 import os
@@ -29,7 +34,9 @@ import jax.numpy as jnp
 
 from pfhubbenchmarks_tpu.benchmarks.bench1_3d import make
 
-reps = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+kcycles = [int(k) for k in
+           (sys.argv[2] if len(sys.argv) > 2 else "1,3").split(",")]
 pb0 = make()
 w = pb0.initial_state()
 dt = pb0.time.dt0
@@ -56,7 +63,7 @@ def bench_apply(label, fn, x):
     return ms
 
 
-for k in (1, 2, 3, 4):
+for k in kcycles:
     pb = dataclasses.replace(pb0, solver=dataclasses.replace(
         pb0.solver, gmg_kcycle=k))
     Minv = pb.precond_builder()(w, w, dt)
